@@ -1,0 +1,49 @@
+"""Command-line driver: `python -m monortm_tpu.cli [options]`.
+
+Drop-in workflow replacement for the reference executable: reads
+MONORTM.IN (+ MONORTM_PROF.IN when IATM=0, TAPE3) from the working
+directory and writes MONORTM.OUT, like PROGRAM MONORTM
+(monortm.f90:292-298) — plus flags the Fortran never had (precision,
+tiling, output directory).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="monortm-tpu",
+                                 description=__doc__)
+    ap.add_argument("--in", dest="filein", default="MONORTM.IN")
+    ap.add_argument("--prof", dest="fileprof", default="MONORTM_PROF.IN")
+    ap.add_argument("--tape3", dest="hfile", default="TAPE3")
+    ap.add_argument("--out", dest="fileout", default="MONORTM.OUT")
+    ap.add_argument("--outdir", default=".")
+    ap.add_argument("--precision", choices=("float32", "float64"),
+                    default="float32")
+    ap.add_argument("--wn-tile", type=int, default=128)
+    ap.add_argument("--line-tile", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    if args.precision == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from monortm_tpu.pipeline import run
+
+    dtype = jnp.float64 if args.precision == "float64" else jnp.float32
+    t0 = time.time()
+    res = run(filein=args.filein, fileprof=args.fileprof, hfile=args.hfile,
+              fileout=args.fileout, outdir=args.outdir, dtype=dtype,
+              wn_tile=args.wn_tile, line_tile=args.line_tile)
+    dt = time.time() - t0
+    print(f"monortm-tpu: {len(res.tb)} profile(s) x {len(res.wn)} "
+          f"wavenumber(s) in {dt:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

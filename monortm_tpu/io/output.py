@@ -1,0 +1,139 @@
+"""MONORTM.OUT writer (STOREOUT equivalent, monortm_sub.F90:519-787).
+
+Produces byte-compatible column layout: header + one row per wavenumber
+with brightness temperature, mean radiating temperature, radiance,
+transmittance, columns, boundary values, total OD and per-molecule
+integrated ODs.  Also provides an npz writer covering the reference's
+optional NetCDF output fields (monortm_sub.F90:698-778) without requiring
+a NetCDF library.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from monortm_tpu import constants as cst
+from monortm_tpu.data.loader import HMOLC
+
+
+def _active_molecules(wkl: np.ndarray, wbrodl: np.ndarray, nmol: int):
+    """Molecule selection for the output columns (monortm_sub.F90:601-614)."""
+    wkl = np.array(wkl, np.float64)
+    if nmol < 22:
+        wkl[:, 21] = wbrodl
+    wk_tot = wkl.sum(axis=0)
+    ids = [im for im in range(39) if wk_tot[im] > 0]
+    return ids
+
+
+class OutputWriter:
+    def __init__(self, path: str | Path, mode: str = "w"):
+        self.fh = open(path, mode)
+        self._ids = None
+
+    def close(self):
+        self.fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def write_profile(self, npr: int, wn, res, state, meta, pwv, clw_col,
+                      tsfc, angle):
+        """One profile block (header written for every profile, as the
+        reference does).  res: ForwardResult; state/meta: profile inputs."""
+        wn = np.asarray(wn)
+        nwn = len(wn)
+        od_by_mol = np.asarray(res.od.od_by_mol)       # [W, M, L]
+        od_total = np.asarray(res.od.od_total)         # [W, L]
+        oc = {k: np.asarray(v) for k, v in res.od.oc.items()}
+        rt = res.rt
+
+        if self._ids is None:
+            self._ids = _active_molecules(np.asarray(state.wkl),
+                                          np.asarray(state.wbrodl), meta.nmol)
+        ids = self._ids
+
+        giga = wn[0] < 100.0
+        wnunits = "FREQ(GHz)" if giga else "FREQ(cm-1)"
+        freq = wn * cst.CLIGHT / 1e9 if giga else wn
+
+        f = self.fh
+        f.write("MONORTM RESULTS:\n")
+        f.write("----------------\n")
+        f.write(f"NWN :{nwn:8d}" + " " * 101
+                + "Molecular Optical Depths -->\n")
+        cmol = [HMOLC[i].center(8) for i in ids]
+        # header row: (a5,a10,2a11,a22,a8,2a8,3a8,a9,36a12)
+        hdr = ("PROF ".ljust(5) + wnunits.ljust(10) + "BT(K) ".rjust(11)
+               + "TMR(K)".rjust(11) + "  RAD(W/cm2_ster_cm-1)".rjust(22)
+               + "TRANS".rjust(8) + "PWV".rjust(8) + "CLW".rjust(8)
+               + "TBOUND".rjust(8) + "EMIS".rjust(8) + "REFL".rjust(8)
+               + "ANGLE".rjust(9)
+               + "TOTAL_OD".rjust(12)
+               + "".join(c.rjust(12) for c in cmol) + "XSEC_OD".rjust(12))
+        f.write(hdr + "\n")
+
+        # integrated per-molecule OD: lines + continuum (monortm_sub.F90:649-656)
+        cont_of = {0: "h2o", 1: "co2", 2: "o3", 6: "o2", 21: "n2"}
+        otot = od_total.sum(axis=-1)                  # [W]
+        odx = (np.asarray(res.od.od_xsec).sum(axis=0)
+               if res.od.od_xsec is not None else np.zeros(nwn))
+        tb = np.asarray(rt.tb)
+        tmr = np.asarray(rt.tmr)
+        rad = np.asarray(rt.rad)
+        trt = np.asarray(rt.trtot)
+        emis = np.asarray(res.emis)
+        refl = np.asarray(res.refl)
+
+        by_mol = np.zeros((len(ids), nwn))
+        for k, im in enumerate(ids):
+            by_mol[k] = od_by_mol[:, im, :].sum(axis=-1)
+            if im in cont_of:
+                by_mol[k] += oc[cont_of[im]].sum(axis=0)
+
+        for iw in range(nwn):
+            # row format 21 (monortm_sub.F90:781-782)
+            row = (f"{npr:5d}{freq[iw]:10.3f}{tb[iw]:11.5f}{tmr[iw]:11.5f}"
+                   f"{rad[iw]:21.9E}{trt[iw]:9.5f}{pwv:8.4f}{clw_col:8.4f}"
+                   f"{tsfc:8.2f}{emis[iw]:8.2f}{refl[iw]:8.2f}{angle:9.3f}"
+                   f"{otot[iw]:12.4E}"
+                   + "".join(f"{by_mol[k, iw]:12.4E}" for k in range(len(ids)))
+                   + f"{odx[iw]:12.4E}")
+            f.write(row + "\n")
+
+    def write_layer_ods(self, npr: int, wn, od_total, outdir="."):
+        """Optional per-layer OD files (IOD=1, monortm_sub.F90:677-694)."""
+        wn = np.asarray(wn)
+        giga = wn[0] < 100.0
+        freq = wn * cst.CLIGHT / 1e9 if giga else wn
+        wnunits = "FREQ(GHz)" if giga else "FREQ(cm-1)"
+        od = np.asarray(od_total)
+        for j in range(od.shape[-1]):
+            name = Path(outdir) / f"ODmono_prf{npr:04d}_lay{j+1:04d}"
+            with open(name, "w") as fh:
+                fh.write(f"NWN :{len(wn):8d}\n")
+                fh.write(f"{wnunits:>10s}{' LAYER_OD':>10s}\n")
+                for iw in range(len(wn)):
+                    fh.write(f"{freq[iw]:10.3f}{od[iw, j]:12.4E}\n")
+
+
+def write_npz(path, wn, res, state, meta, pwv, clw_col, tsfc, angle):
+    """Structured archive with the reference NetCDF fields
+    (monortm_sub.F90:729-772): per-wn results + per-layer OD by molecule."""
+    rt = res.rt
+    np.savez_compressed(
+        path,
+        frequency=np.asarray(wn),
+        bt=np.asarray(rt.tb), rad=np.asarray(rt.rad),
+        trans=np.asarray(rt.trtot), tmr=np.asarray(rt.tmr),
+        pwv=pwv, clw=clw_col, sfct=tsfc, angle=angle,
+        emis=np.asarray(res.emis), refl=np.asarray(res.refl),
+        total_od=np.asarray(res.od.od_total).sum(-1),
+        layer_od=np.asarray(res.od.od_total),
+        layer_od_by_molecule=np.asarray(res.od.od_by_mol),
+    )

@@ -1,0 +1,68 @@
+"""Flagship forward model: layered state -> radiance / brightness temperature.
+
+TPU-native equivalent of the reference driver's per-profile pipeline
+(monortm.f90:357-588): MODM optical depths -> CALCTMR -> RTM.  Built once
+per run (static grid/catalog/flags); `forward` is pure and jittable, and is
+the function exposed to pjit/shard_map for multi-chip execution (profiles x
+wavenumbers sharding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from monortm_tpu import constants as cst
+from monortm_tpu.lines import PackedCatalog
+from monortm_tpu.models.od import ODModel, ODResult
+from monortm_tpu.models.rt import rtm, RTResult
+from monortm_tpu.ops.continuum import ContinuumFactors
+from monortm_tpu.ops.lineshape import LineConfig
+from monortm_tpu.types import LayerState
+
+
+@dataclasses.dataclass
+class ForwardResult:
+    rt: RTResult
+    od: ODResult
+    emis: Any
+    refl: Any
+
+
+class MonoRTM:
+    """Configured forward model for one spectral setup."""
+
+    def __init__(self, wn: np.ndarray, dvset: float, catalog: PackedCatalog,
+                 nmol: int = 39,
+                 factors: ContinuumFactors = ContinuumFactors(),
+                 line_cfg: LineConfig = LineConfig(),
+                 dtype=jnp.float32,
+                 wn_tile: int = 128, line_tile: int = 4096,
+                 xsec_model=None):
+        self.wn = np.asarray(wn, np.float64)
+        self.dtype = dtype
+        self.od_model = ODModel(wn, dvset, catalog, nmol=nmol,
+                                factors=factors, line_cfg=line_cfg,
+                                dtype=dtype, wn_tile=wn_tile,
+                                line_tile=line_tile, xsec_model=xsec_model)
+
+    def forward(self, state: LayerState, tsfc, emis, refl, irt: int
+                ) -> ForwardResult:
+        """Complete forward computation for one (batched) profile set.
+
+        tsfc: scalar or [...] surface temperature; emis/refl: [W] or
+        [..., W] boundary spectra; irt: 1 up / 2 limb / 3 down (static).
+        """
+        od = self.od_model(state)
+        wn_d = jnp.asarray(self.wn, self.dtype)
+        rt = rtm(od.od_total, jnp.asarray(state.t, self.dtype)[..., None, :],
+                 jnp.asarray(state.tz, self.dtype)[..., None, :],
+                 wn_d, tsfc, emis, refl, irt)
+        return ForwardResult(rt=rt, od=od, emis=emis, refl=refl)
+
+    def tb(self, state: LayerState, tsfc, emis, refl, irt: int):
+        """Brightness temperatures only (jit-friendly thin wrapper)."""
+        return self.forward(state, tsfc, emis, refl, irt).rt.tb

@@ -77,7 +77,13 @@ def od_clw_lhm(wn, temp, clw):
     eps2 = 3.52 + 7.52 * theta1
     fp = 20.1 * jnp.exp(7.88 * theta1)
     fs = 39.8 * fp
-    eps = ((eps0 - eps1) / (1.0 + 1j * freq / fp)
-           + (eps1 - eps2) / (1.0 + 1j * freq / fs) + eps2)
-    re = (eps - 1.0) / (eps + 2.0)
-    return -(6.0 * c.PI / 299.792458) * clw * jnp.imag(re) * freq
+    # eps = (eps0-eps1)/(1+i f/fp) + (eps1-eps2)/(1+i f/fs) + eps2, expanded
+    # into real pairs (no complex dtypes on TPU)
+    xp_, xs_ = freq / fp, freq / fs
+    dp_, ds_ = 1.0 + xp_ * xp_, 1.0 + xs_ * xs_
+    eps_re = (eps0 - eps1) / dp_ + (eps1 - eps2) / ds_ + eps2
+    eps_im = -(eps0 - eps1) * xp_ / dp_ - (eps1 - eps2) * xs_ / ds_
+    # Im[(eps-1)/(eps+2)]
+    den = (eps_re + 2.0) ** 2 + eps_im**2
+    im_ratio = (eps_im * (eps_re + 2.0) - (eps_re - 1.0) * eps_im) / den
+    return -(6.0 * c.PI / 299.792458) * clw * im_ratio * freq

@@ -10,9 +10,10 @@ boundaries and coefficients:
   SDVOIGT     -> modm.f90:965-1087   (Boone et al. 2011 two-point form)
   XLORENTZ    -> modm.f90:888-895
 
-All control flow is data-parallel `jnp.where` selection — every branch is
-evaluated with guarded inputs, then masked.  This maps 1:1 onto the TPU VPU
-(and is reused verbatim inside the Pallas line-sum kernel).
+Complex arithmetic is expanded into explicit (re, im) pairs: TPU backends
+do not carry native complex types, and the same real-pair formulation drops
+straight into the Pallas line-sum kernel.  All control flow is data-parallel
+`jnp.where` selection over guarded inputs.
 """
 
 from __future__ import annotations
@@ -25,34 +26,77 @@ _SQRT_LN2 = c.SQRT_LN2
 _RSQRT_PI_LN2 = (c.LN2 / c.PI) ** 0.5   # sqrt(ln2/pi)
 
 
-def _w_region1(t):
-    return t * 0.5641896 / (0.5 + t * t)
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _w_region2(t):
-    u = t * t
-    return t * (1.410474 + u * 0.5641896) / (0.75 + u * (3.0 + u))
+def _cdiv(ar, ai, br, bi):
+    d = br * br + bi * bi
+    return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
 
 
-def _w_region3(t):
-    return ((16.4955 + t * (20.20933 + t * (11.96482 + t * (3.778987 + t * 0.5642236))))
-            / (16.4955 + t * (38.82363 + t * (39.27121 + t * (21.69274 + t * (6.699398 + t))))))
+def _w_region1(tr, ti):
+    # t*0.5641896/(0.5+t*t)
+    ur, ui = _cmul(tr, ti, tr, ti)
+    return _cdiv(0.5641896 * tr, 0.5641896 * ti, 0.5 + ur, ui)
 
 
-def _w_region4(t):
-    u = t * t
-    num = (36183.31 - u * (3321.9905 - u * (1540.787 - u * (219.0313 - u *
-           (35.76683 - u * (1.320522 - u * 0.56419))))))
-    den = (32066.6 - u * (24322.84 - u * (9022.228 - u * (2186.181 - u *
-           (364.2191 - u * (61.57037 - u * (1.841439 - u)))))))
-    return jnp.exp(u) - t * num / den
+def _w_region2(tr, ti):
+    # t*(1.410474+u*0.5641896)/(0.75+u*(3.+u))
+    ur, ui = _cmul(tr, ti, tr, ti)
+    nr, ni = _cmul(tr, ti, 1.410474 + 0.5641896 * ur, 0.5641896 * ui)
+    dr, di = _cmul(ur, ui, 3.0 + ur, ui)
+    return _cdiv(nr, ni, 0.75 + dr, di)
 
 
-def w4(x, y):
-    """Humlicek W4: w(z) for z = x + i y, y >= 0 (modm.f90:1100-1130)."""
+def _horner(tr, ti, coeffs):
+    """p(t) with p = c0 + t(c1 + t(...)); coeffs given highest-order first."""
+    pr = jnp.zeros_like(tr) + coeffs[0]
+    pi = jnp.zeros_like(tr)
+    for a in coeffs[1:]:
+        pr, pi = _cmul(pr, pi, tr, ti)
+        pr = pr + a
+    return pr, pi
+
+
+def _w_region3(tr, ti):
+    nr, ni = _horner(tr, ti, (0.5642236, 3.778987, 11.96482, 20.20933, 16.4955))
+    dr, di = _horner(tr, ti, (1.0, 6.699398, 21.69274, 39.27121, 38.82363, 16.4955))
+    return _cdiv(nr, ni, dr, di)
+
+
+def _w_region4(tr, ti):
+    ur, ui = _cmul(tr, ti, tr, ti)
+    # polynomials in u with alternating signs as written in the reference:
+    # num = 36183.31 - u*(3321.9905 - u*(1540.787 - ... - u*0.56419))
+    def alt(coeffs):
+        pr = jnp.zeros_like(ur) + coeffs[0]
+        pi = jnp.zeros_like(ur)
+        for a in coeffs[1:]:
+            qr, qi = _cmul(ur, ui, pr, pi)
+            pr, pi = a - qr, -qi
+        return pr, pi
+
+    nr, ni = alt((0.56419, 1.320522, 35.76683, 219.0313, 1540.787,
+                  3321.9905, 36183.31))
+    dr, di = alt((1.0, 1.841439, 61.57037, 364.2191, 2186.181,
+                  9022.228, 24322.84, 32066.6))
+    fr, fi = _cdiv(nr, ni, dr, di)
+    pr, pi = _cmul(tr, ti, fr, fi)
+    # cexp(u) - t*num/den
+    eu = jnp.exp(ur)
+    return eu * jnp.cos(ui) - pr, eu * jnp.sin(ui) - pi
+
+
+def w4_real(x, y):
+    """Re[w(z)] for z = x + i y via Humlicek W4 (modm.f90:1100-1130).
+
+    t = y - i x; regions split at s = |x|+y = 15 / 5.5 with the region-4
+    wedge y < 0.195|x| - 0.176.
+    """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    t = y - 1j * x
+    tr, ti = y, -x
     s = jnp.abs(x) + y
 
     in1 = s >= 15.0
@@ -61,20 +105,20 @@ def w4(x, y):
     in4 = in34 & (y < 0.195 * jnp.abs(x) - 0.176)
     in3 = in34 & ~in4
 
-    # guard region-4 exp(t^2) against overflow where not selected
-    t4 = jnp.where(in4, t, 0.0)
-    w = jnp.where(in1, _w_region1(jnp.where(in1, t, 1.0)), 0.0)
-    w = jnp.where(in2, _w_region2(jnp.where(in2, t, 1.0)), w)
-    w = jnp.where(in3, _w_region3(jnp.where(in3, t, 1.0)), w)
-    w = jnp.where(in4, _w_region4(t4), w)
+    one = jnp.ones_like(tr)
+    zero = jnp.zeros_like(tr)
+    w = jnp.where(in1, _w_region1(jnp.where(in1, tr, one), jnp.where(in1, ti, zero))[0], 0.0)
+    w = jnp.where(in2, _w_region2(jnp.where(in2, tr, one), jnp.where(in2, ti, zero))[0], w)
+    w = jnp.where(in3, _w_region3(jnp.where(in3, tr, one), jnp.where(in3, ti, zero))[0], w)
+    w = jnp.where(in4, _w_region4(jnp.where(in4, tr, zero), jnp.where(in4, ti, zero))[0], w)
     return w
 
 
 def voigt(deltnu, alphal, alphad):
-    """Voigt profile value with unit normalisation (modm.f90:900-962).
+    """Voigt profile value (modm.f90:900-962).
 
     K(deltnu) = Re[w(sqrt(ln2) dnu/aD + i sqrt(ln2) aL/aD)] * sqrt(ln2/pi)/aD
-    with a pure-Lorentz fallback at zeta == 1 (aD == 0).
+    with a pure-Lorentz fallback at aD == 0 (zeta == 1).
     """
     alphal = jnp.asarray(alphal)
     alphad = jnp.asarray(alphad)
@@ -83,7 +127,7 @@ def voigt(deltnu, alphal, alphad):
     ad_safe = jnp.where(alphad > 0.0, alphad, 1.0)
     x = _SQRT_LN2 * deltnu / ad_safe
     y = _SQRT_LN2 * alphal / ad_safe
-    v = jnp.real(w4(x, y)) * _RSQRT_PI_LN2 / ad_safe
+    v = w4_real(x, y) * _RSQRT_PI_LN2 / ad_safe
 
     lor = alphal / (c.PI * (alphal * alphal + deltnu * deltnu))
     return jnp.where(alphad > 0.0, v, lor)
@@ -95,28 +139,24 @@ def xlorentz(z):
 
 
 def _sd_region_id(s, x_h, y_h):
-    """Region per SD_Humlicek (boundaries 15/6; modm.f90:1160-1179).
-
-    x_h, y_h are the *Humlicek-plane* coordinates of the evaluation point
-    (the reference swaps its x/y arguments at the call site).
-    """
+    """Region per SD_Humlicek (boundaries 15/6; modm.f90:1160-1179)."""
     r = jnp.where(s >= 15.0, 1, jnp.where(s >= 6.0, 2, 3))
     r = jnp.where((r == 3) & (y_h < 0.195 * jnp.abs(x_h) - 0.176), 4, r)
     return r
 
 
-def _w_by_region(t, r, own_region4):
-    """Evaluate Humlicek formula for combined region r at point t.
-
-    For r == 4: use the region-4 formula only when the point itself is in
-    region 4, else region 3 (modm.f90:1217-1247, MJA 08062013 fix).
-    """
+def _w_by_region_real(tr, ti, r, own_region4):
+    """Re[w] for combined region r; per-point region-4/3 fallback inside r=4
+    (modm.f90:1217-1247)."""
+    one = jnp.ones_like(tr)
+    zero = jnp.zeros_like(tr)
     use4 = (r == 4) & own_region4
-    w = jnp.where(r == 1, _w_region1(jnp.where(r == 1, t, 1.0)), 0.0)
-    w = jnp.where(r == 2, _w_region2(jnp.where(r == 2, t, 1.0)), w)
-    w3_sel = (r == 3) | ((r == 4) & ~own_region4)
-    w = jnp.where(w3_sel, _w_region3(jnp.where(w3_sel, t, 1.0)), w)
-    w = jnp.where(use4, _w_region4(jnp.where(use4, t, 0.0)), w)
+    use3 = (r == 3) | ((r == 4) & ~own_region4)
+    m1, m2 = r == 1, r == 2
+    w = jnp.where(m1, _w_region1(jnp.where(m1, tr, one), jnp.where(m1, ti, zero))[0], 0.0)
+    w = jnp.where(m2, _w_region2(jnp.where(m2, tr, one), jnp.where(m2, ti, zero))[0], w)
+    w = jnp.where(use3, _w_region3(jnp.where(use3, tr, one), jnp.where(use3, ti, zero))[0], w)
+    w = jnp.where(use4, _w_region4(jnp.where(use4, tr, zero), jnp.where(use4, ti, zero))[0], w)
     return w
 
 
@@ -134,33 +174,60 @@ def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4):
     sdep_safe = jnp.where(use_sd, sdep, 1.0)
     ad_safe = jnp.where(alphad > 0.0, alphad, 1.0)
 
+    # operation order mirrors modm.f90:1029-1053 exactly — the x1 subtraction
+    # cancels near line centre, so ulp-level divergence would be amplified
     gamma2 = alphal * sdep_safe
     g2_safe = jnp.where(gamma2 != 0.0, gamma2, 1.0)
-    alfa = 1.0 / sdep_safe - 1.5                      # alphal/gamma2 - 1.5
+    alfa = alphal / g2_safe - 1.5
     beta = deltnu / g2_safe
-    delta = (0.25 / c.LN2) * (alphad * alphad) / (g2_safe * g2_safe)
+    delta = (1.0 / 4.0 / c.LN2) * (alphad * alphad / g2_safe / g2_safe)
     alfadelta = alfa + delta
 
     tmp = jnp.sqrt(alfadelta * alfadelta + beta * beta)
     sqrt_delta = jnp.sqrt(delta)
-    x1 = jnp.sqrt(jnp.maximum(tmp + alfadelta, 0.0) * 0.5) - sqrt_delta
+    x1 = (1.0 / jnp.sqrt(2.0)) * jnp.sqrt(tmp + alfadelta) - sqrt_delta
     x2 = x1 + 2.0 * sqrt_delta
-    y1 = jnp.sign(beta) * jnp.sqrt(jnp.maximum((tmp - delta - alfa) * 0.5, 0.0))
+    y1 = jnp.sign(beta) * jnp.sqrt((tmp - delta - alfa) / 2.0)
     y2 = y1
 
-    # Humlicek-plane coordinates: the reference calls SD_Humlicek(y1,x1,...),
-    # i.e. t = x - i*y, s = |y| + x  (modm.f90:1058,1155-1158)
-    t1 = x1 - 1j * y1
-    t2 = x2 - 1j * y2
+    # Humlicek-plane: the reference calls SD_Humlicek(y1,x1,...) so that
+    # t = x - i*y and s = |y| + x  (modm.f90:1058,1155-1158)
     s1 = jnp.abs(y1) + x1
     s2 = jnp.abs(y2) + x2
     r1 = _sd_region_id(s1, y1, x1)
     r2 = _sd_region_id(s2, y2, x2)
     r = jnp.maximum(r1, r2)
 
-    w1 = _w_by_region(t1, r, r1 == 4)
-    w2 = _w_by_region(t2, r, r2 == 4)
-    v_sd = jnp.real(w1 - w2) * _RSQRT_PI_LN2 / ad_safe
+    w1 = _w_by_region_real(x1, -y1, r, r1 == 4)
+    w2 = _w_by_region_real(x2, -y2, r, r2 == 4)
+    v_sd = (w1 - w2) * _RSQRT_PI_LN2 / ad_safe
 
     v_plain = voigt(deltnu, alphal, alphad)
     return jnp.where(use_sd, v_sd, v_plain)
+
+
+def w4(x, y):
+    """Humlicek W4 as a (re, im) pair (complex dtypes are not TPU-supported)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    tr, ti = y, -x
+    s = jnp.abs(x) + y
+    in1 = s >= 15.0
+    in2 = (~in1) & (s >= 5.5)
+    in34 = ~(in1 | in2)
+    in4 = in34 & (y < 0.195 * jnp.abs(x) - 0.176)
+    in3 = in34 & ~in4
+    one = jnp.ones_like(tr)
+    zero = jnp.zeros_like(tr)
+
+    def sel(mask, fn, guard_r, guard_i, wr, wi):
+        rr, ri = fn(jnp.where(mask, tr, guard_r), jnp.where(mask, ti, guard_i))
+        return jnp.where(mask, rr, wr), jnp.where(mask, ri, wi)
+
+    wr = jnp.zeros_like(tr)
+    wi = jnp.zeros_like(tr)
+    wr, wi = sel(in1, _w_region1, one, zero, wr, wi)
+    wr, wi = sel(in2, _w_region2, one, zero, wr, wi)
+    wr, wi = sel(in3, _w_region3, one, zero, wr, wi)
+    wr, wi = sel(in4, _w_region4, zero, zero, wr, wi)
+    return wr, wi

