@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: line·layer·channel optical-depth evaluations per second per
+chip on a representative microwave workload (full forward model: line sum +
+continuum + cloud + RT).
+
+Prints ONE JSON line:
+  {"metric": "od_evals_per_s_per_chip", "value": N, "unit": "evals/s",
+   "vs_baseline": R}
+
+vs_baseline: the reference publishes no benchmark numbers (BASELINE.md) and
+this image has no Fortran compiler to measure one, so the denominator is a
+documented estimate of single-core line-by-line throughput for codes of
+this family: 1.0e7 line·layer·channel evaluations/s/core (O(100) flops per
+Voigt evaluation at O(1) GFLOP/s scalar).  BENCH_NOTES.md records the
+methodology.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+FORTRAN_SINGLE_CORE_EVALS_PER_S = 1.0e7  # documented estimate, see BENCH_NOTES.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from monortm_tpu.models.monortm import MonoRTM
+    from monortm_tpu.testing import synthetic_catalog_mw, synthetic_state
+
+    batch = 8
+    nlay = 40
+    nwn = 1024
+    cat = synthetic_catalog_mw(n_h2o=2048, n_o2=1024, tile=512)
+    n_lines = len(cat)
+
+    wn = np.linspace(0.3, 55.0, nwn)
+    model = MonoRTM(wn, dvset=float(wn[1] - wn[0]), catalog=cat, nmol=22,
+                    dtype=jnp.float32, wn_tile=256, line_tile=512)
+    state = synthetic_state(nlay=nlay, batch=batch)
+    emis = jnp.full((nwn,), 0.95, jnp.float32)
+    refl = 1.0 - emis
+    tsfc = jnp.full((batch, 1), 288.0, jnp.float32)
+
+    import jax.tree_util as jtu
+    state = jtu.tree_map(lambda x: jnp.asarray(x, jnp.float32), state)
+
+    fn = jax.jit(lambda s: model.tb(s, tsfc, emis, refl, irt=3))
+    fn(state).block_until_ready()          # compile + warm
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(state)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    evals = batch * nlay * nwn * n_lines
+    rate = evals / dt
+    print(json.dumps({
+        "metric": "od_evals_per_s_per_chip",
+        "value": rate,
+        "unit": "evals/s",
+        "vs_baseline": rate / FORTRAN_SINGLE_CORE_EVALS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()
