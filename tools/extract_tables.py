@@ -63,7 +63,11 @@ def parse_value_list(text: str) -> list[float]:
             continue
         if "*" in tok:  # repeat count: e.g. 7*0.0
             cnt_s, val_s = tok.split("*", 1)
-            vals.extend([_tofloat(val_s)] * int(cnt_s))
+            try:
+                cnt = int(cnt_s)
+            except ValueError:
+                continue  # symbolic repeat (e.g. MXZ50*0.0) — zero padding
+            vals.extend([_tofloat(val_s)] * cnt)
         else:
             vals.append(_tofloat(tok))
     return vals
@@ -107,7 +111,8 @@ def parse_data_statements(statements: list[str]) -> dict[str, list[float]]:
 
 
 def extract_block_data(src: str, name: str) -> dict[str, list[float]]:
-    m = re.search(rf"(?is)BLOCK DATA\s+{name}\b(.*?)end block data", src)
+    m = re.search(rf"(?ism)^[ \t]*BLOCK DATA\s+{name}\b(.*?)(?:end block data|\n[ \t]*END[ \t]*\n)",
+                  src)
     if not m:
         raise KeyError(f"BLOCK DATA {name} not found")
     return parse_data_statements(join_statements(m.group(1)))
@@ -115,7 +120,7 @@ def extract_block_data(src: str, name: str) -> dict[str, list[float]]:
 
 def common_member_order(src: str, name: str, common: str) -> list[str]:
     """Ordered member names of COMMON /common/ inside BLOCK DATA `name`."""
-    m = re.search(rf"(?is)BLOCK DATA\s+{name}\b(.*?)end block data", src)
+    m = re.search(rf"(?ism)^[ \t]*BLOCK DATA\s+{name}\b(.*?)end block data", src)
     stmts = join_statements(m.group(1))
     for st in stmts:
         cm = re.match(rf"(?i)^\s*COMMON\s*/\s*{common}\s*/\s*(.*)$", st)
@@ -248,6 +253,43 @@ def extract_isotopes(ref: Path) -> dict[str, np.ndarray]:
     return out
 
 
+def extract_mlatm(ref: Path) -> dict[str, np.ndarray]:
+    """Built-in model atmospheres + trace-gas profiles (lblatm.f90 BLOCK
+    DATA MLATMB, :1809-2914) and the cross-section default profiles
+    (BLOCK DATA XMLATM)."""
+    src = (ref / "lblatm.f90").read_text(errors="replace")
+    tabs = extract_block_data(src, "MLATMB")
+
+    def a50(name):
+        v = np.asarray(tabs[name][:50], dtype=np.float64)
+        assert v.shape == (50,), (name, v.shape)
+        return v
+
+    out: dict[str, np.ndarray] = {"alt": a50("alt")}
+    out["pmdl"] = np.stack([a50(f"p{m}") for m in range(1, 7)])
+    out["tmdl"] = np.stack([a50(f"t{m}") for m in range(1, 7)])
+    # amol[model, gas 1..8, level]; gas 8 is total air density
+    out["amol"] = np.stack([
+        np.stack([a50(f"amol{m}{k}") for k in range(1, 9)])
+        for m in range(1, 7)])
+    trac_names = ["ano", "so2", "ano2", "anh3", "hno3", "oh", "hf", "hcl",
+                  "hbr", "hi", "clo", "ocs", "h2co", "hocl", "an2", "hcn",
+                  "ch3cl", "h2o2", "c2h2", "c2h6", "ph3"]
+    out["trac"] = np.stack([a50(n) for n in trac_names])
+
+    # XMLATM: default cross-section molecule profiles (ppmv), members
+    # amol1..amol38 on the altx grid (lblatm.f90:7082+)
+    m = re.search(r"(?ism)^[ \t]*BLOCK DATA\s+XMLATM\b(.*?)\n[ \t]*END[ \t]*\n", src)
+    if m:
+        xt = parse_data_statements(join_statements(m.group(1)))
+        nz = 50
+        out["altx"] = np.asarray(xt["altx"][:nz], dtype=np.float64)
+        amolx = [np.asarray(xt[f"amol{i}"][:nz], dtype=np.float64)
+                 for i in range(1, 39) if f"amol{i}" in xt]
+        out["amolx"] = np.stack(amolx)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference/src", type=Path)
@@ -259,7 +301,8 @@ def main() -> None:
     np.savez_compressed(args.out / "mt_ckd.npz", **extract_contnm(args.ref))
     np.savez_compressed(args.out / "tips.npz", **extract_tips(args.ref))
     np.savez_compressed(args.out / "isotopes.npz", **extract_isotopes(args.ref))
-    for f in ("mt_ckd", "tips", "isotopes"):
+    np.savez_compressed(args.out / "mlatm.npz", **extract_mlatm(args.ref))
+    for f in ("mt_ckd", "tips", "isotopes", "mlatm"):
         d = np.load(args.out / f"{f}.npz")
         print(f, len(d.files), "arrays")
 
