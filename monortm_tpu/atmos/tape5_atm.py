@@ -1,0 +1,329 @@
+"""LBLATM control records (3.1-3.6) parser + ATMPTH driver.
+
+Turns the records following MONORTM.IN record 1.4 into layered Profile
+objects via the path engine.  Replicates ATMPTH's record handling
+(lblatm.f90:575-1260) including pressure-grid boundary conversion and the
+user-profile (MODEL=0) reader NSMDL/RDUNIT (lblatm.f90:3044-3401).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from monortm_tpu.atmos import layering as lay
+from monortm_tpu.io.profin import Profile
+from monortm_tpu.types import LayerState, ProfileMeta
+
+
+def _f(s: str) -> float:
+    s = s.strip()
+    return float(s.replace("d", "e").replace("D", "E")) if s else 0.0
+
+
+def _i(s: str) -> int:
+    s = s.strip()
+    return int(s) if s else 0
+
+
+class AtmRecordReader:
+    def __init__(self, lines: list[str]):
+        self.lines = lines
+        self.pos = 0
+
+    def next(self) -> str:
+        line = self.lines[self.pos]
+        self.pos += 1
+        return line
+
+
+def parse_user_profile(rd: AtmRecordReader, nmol: int, immax_b: int,
+                       ref_lat: float, re: float) -> lay.ModelProfile:
+    """NSMDL + RDUNIT loop (lblatm.f90:3044-3401)."""
+    immax = abs(immax_b)
+    zmdl = np.zeros(immax)
+    pm = np.zeros(immax)
+    tm = np.zeros(immax)
+    denm = np.zeros((lay.MXMOL, immax))
+    hmod = ""
+    for im in range(immax):
+        # record 3.5: (3E10.3,5X,2A1,1X,A1,1X,39A1)
+        r = rd.next().ljust(80)
+        zm = _f(r[0:10])
+        p = _f(r[10:20])
+        t = _f(r[20:30])
+        jcharp = r[35:36]
+        jchart = r[36:37]
+        jlong = r[38:39]
+        jchar = {k + 1: (r[40 + k] if 40 + k < len(r) else " ")
+                 for k in range(39)}
+        junitp = lay.jou(jcharp)
+        junitt = lay.jou(jchart)
+        junit = {k: lay.jou(c) for k, c in jchar.items()}
+
+        # record 3.6: wmol
+        wmol = {}
+        fmt_w, per_row = (15, 8) if jlong == "L" else (10, 8)
+        got = 0
+        while got < nmol:
+            r = rd.next().ljust(per_row * fmt_w)
+            for kk in range(per_row):
+                if got >= nmol:
+                    break
+                wmol[got + 1] = _f(r[kk * fmt_w:(kk + 1) * fmt_w])
+                got += 1
+
+        p = lay.check_pt(p, junitp, 1)
+        t = lay.check_pt(t, junitt, 2)
+
+        # model-atmosphere defaults (DEFALT / DEFALT_P)
+        if immax_b < 0:
+            t_d, wmol_d = lay._default_interp_p(p, junitt, junit, nmol)
+            if junitt <= 6 and t_d is not None:
+                t = t_d
+        else:
+            p_d, t_d, wmol_d = lay._default_interp_z(zm, junitp, junitt,
+                                                     junit, nmol)
+            if junitp <= 6 and p_d is not None:
+                p = p_d
+            if junitt <= 6 and t_d is not None:
+                t = t_d
+        for k, v in wmol_d.items():
+            wmol[k] = v
+            junit[k] = 10
+
+        denm[:, im] = lay.convert_units(p, t, junit, wmol, nmol)
+        zmdl[im] = zm
+        pm[im] = p
+        tm[im] = t
+
+    denw = denm[0].copy()
+    if immax_b < 0:
+        zmdl = lay.cmpalt(pm, tm, denw, zmdl[0], ref_lat, re)
+    if np.any(np.diff(zmdl) <= 0):
+        raise ValueError("input altitudes not in ascending order")
+    return lay.ModelProfile(zmdl=zmdl, pm=pm, tm=tm, denm=denm, denw=denw,
+                            hmod=hmod)
+
+
+def _pbnd_to_zbnd(pbnd, prof: lay.ModelProfile, ref_lat, re):
+    """Pressure boundaries -> altitudes: blended ln(p) interpolation +
+    hydrostatics (ATMPTH, lblatm.f90:898-966)."""
+    out_z = np.zeros(len(pbnd))
+    out_t = np.zeros(len(pbnd))
+    istart = 1
+    for ip, pb in enumerate(pbnd):
+        lip = prof.immax - 1
+        for k in range(istart, prof.immax):
+            if pb > prof.pm[k]:
+                lip = k
+                break
+        if pb == prof.pm[lip - 1]:
+            out_z[ip] = prof.zmdl[lip - 1]
+            out_t[ip] = prof.tm[lip - 1]
+        elif pb == prof.pm[lip]:
+            out_z[ip] = prof.zmdl[lip]
+            out_t[ip] = prof.tm[lip]
+        else:
+            hip = (prof.zmdl[lip] - prof.zmdl[lip - 1]) / \
+                math.log(prof.pm[lip] / prof.pm[lip - 1])
+            zint = prof.zmdl[lip - 1] + hip * math.log(pb / prof.pm[lip - 1])
+            tip = (prof.tm[lip] - prof.tm[lip - 1]) / \
+                math.log(prof.pm[lip] / prof.pm[lip - 1])
+            ttmp2 = prof.tm[lip - 1] + tip * math.log(pb / prof.pm[lip - 1])
+            wvip = (prof.denw[lip] - prof.denw[lip - 1]) / \
+                math.log(prof.pm[lip] / prof.pm[lip - 1])
+            wvtmp2 = prof.denw[lip - 1] + wvip * math.log(
+                pb / prof.pm[lip - 1])
+            ztmp = lay.cmpalt(
+                np.asarray([prof.pm[lip - 1], pb]),
+                np.asarray([prof.tm[lip - 1], ttmp2]),
+                np.asarray([prof.denw[lip - 1], wvtmp2]),
+                prof.zmdl[lip - 1], ref_lat, re)
+            ratp = math.log(pb / prof.pm[lip - 1]) / \
+                math.log(prof.pm[lip] / prof.pm[lip - 1])
+            a = ratp**3
+            out_z[ip] = a * zint + (1 - a) * ztmp[1]
+            out_t[ip] = ttmp2
+        istart = lip
+    return out_z, out_t
+
+
+def atmpth(rest: list[str], v1: float, v2: float) -> Profile:
+    """One LBLATM invocation over the record block following record 1.4.
+
+    Returns a Profile whose state mirrors the /PATHD/ COMMON the driver
+    consumes (monortm.f90:229-230).
+    """
+    rd = AtmRecordReader(rest)
+
+    # record 3.1: (7I5,I2,1X,I2,4F10.3,A10)
+    r = rd.next().ljust(90)
+    model = _i(r[0:5])
+    itype = _i(r[5:10])
+    ibmax_b = _i(r[10:15])
+    n_zero = _i(r[15:20])
+    noprnt = _i(r[20:25])
+    nmol = _i(r[25:30])
+    ipunch = _i(r[30:35])
+    re = _f(r[40:50])
+    hspace = _f(r[50:60])
+    xvbar = _f(r[60:70])
+    dumrd = _f(r[70:80])
+    sref = r[80:90].strip()
+    ref_lat = float(sref) if sref else 45.0
+    if dumrd != 0.0:
+        raise ValueError("co2mx option retired (lblatm.f90:594-600)")
+
+    if nmol == 0:
+        nmol = lay.KMXNOM
+    if itype < 1 or itype > 3 or model < 0 or model > 6:
+        raise ValueError("card 3.1 out of range")
+    ibmax = abs(ibmax_b)
+    if re == 0.0:
+        re = 6371.23
+        if model == 1:
+            re = 6378.39
+        if model in (4, 5):
+            re = 6356.91
+    if hspace == 0.0:
+        hspace = 100.0
+    if xvbar <= 0.0:
+        xvbar = (v1 + v2) / 2.0
+        if v2 < v1:
+            xvbar = v1
+
+    if itype == 1:
+        # horizontal path (lblatm.f90:664-803)
+        r = rd.next().ljust(40)
+        h1 = _f(r[0:10])
+        range_ = _f(r[30:40])
+        if model == 0:
+            prof = parse_user_profile(rd, nmol, _i(rd.next()[:5]) or 1,
+                                      ref_lat, re)
+        else:
+            prof = lay.load_model_atmosphere(model, nmol, hspace)
+        # interpolate densities to h1
+        im = prof.immax - 1
+        for k in range(1, prof.immax):
+            if h1 < prof.zmdl[k]:
+                im = k
+                break
+        a = (h1 - prof.zmdl[im - 1]) / (prof.zmdl[im] - prof.zmdl[im - 1])
+        ph = lay.expint(prof.pm[im - 1], prof.pm[im], a)
+        th = prof.tm[im - 1] + (prof.tm[im] - prof.tm[im - 1]) * a
+        rhobar = lay.cst.ALOSMT * ph * lay.TZERO / (lay.PZERO * th)
+        den = np.array([lay.expint(prof.denm[k, im - 1], prof.denm[k, im], a)
+                        for k in range(lay.MXMOL)])
+        amount = den * range_ * 1.0e5
+        amtair = rhobar * range_ * 1.0e5
+        wn2l = amtair - amount[:nmol].sum()
+        state = LayerState(
+            p=np.asarray([ph]), t=np.asarray([th]),
+            tz=np.asarray([th, th]), wkl=amount[None, :],
+            wbrodl=np.asarray([wn2l]), clw=np.zeros(1))
+        meta = ProfileMeta(nmol=nmol, angle=0.0, h1=h1, h2=h1,
+                           altz=np.asarray([-range_, h1]),
+                           pz=np.asarray([ph, ph]))
+        return Profile(state=state, meta=meta, hmod=prof.hmod)
+
+    # slant path: record 3.2 (5F10.4,I5,5X,F10.4)
+    r = rd.next().ljust(70)
+    h1 = _f(r[0:10])
+    h2 = _f(r[10:20])
+    angle = _f(r[20:30])
+    range_ = _f(r[30:40])
+    beta = _f(r[40:50])
+    len_ = _i(r[50:55])
+    hobs = _f(r[60:70])
+
+    avtrat, tdiff1, tdiff2, altd1, altd2 = 1.5, 5.0, 8.0, 0.0, 100.0
+    zbnd = pbnd = None
+    if ibmax == 0:
+        r = rd.next().ljust(50)
+        avtrat = _f(r[0:10]) or 1.5
+        tdiff1 = _f(r[10:20]) or 5.0
+        tdiff2 = _f(r[20:30]) or 8.0
+        altd1 = _f(r[30:40])
+        altd2 = _f(r[40:50])
+        if altd2 <= 0 or altd2 <= altd1:
+            altd1, altd2 = 0.0, 100.0
+        if avtrat <= 1.0 or tdiff1 <= 0.0 or tdiff2 <= 0.0:
+            raise ValueError("AVTRAT/TDIFF out of range")
+    else:
+        vals = []
+        while len(vals) < ibmax:
+            r = rd.next().ljust(80)
+            for k in range(8):
+                if len(vals) >= ibmax:
+                    break
+                vals.append(_f(r[k * 10:(k + 1) * 10]))
+        if ibmax_b < 0:
+            pbnd = np.asarray(vals)
+            if np.any(np.diff(pbnd) >= 0):
+                raise ValueError("PBND not descending")
+        else:
+            zbnd = np.asarray(vals)
+            if np.any(np.diff(zbnd) <= 0):
+                raise ValueError("ZBND not ascending")
+
+    # model atmosphere
+    if model == 0:
+        r = rd.next().ljust(30)
+        immax_b = _i(r[0:5])
+        hmod = r[5:29].strip()
+        prof = parse_user_profile(rd, nmol, immax_b, ref_lat, re)
+        prof.hmod = hmod
+    else:
+        prof = lay.load_model_atmosphere(model, nmol, hspace)
+
+    # pressure-grid boundaries -> altitude grid (lblatm.f90:898-1087)
+    tbnd = None
+    if ibmax_b < 0:
+        zbnd, tbnd = _pbnd_to_zbnd(pbnd, prof, ref_lat, re)
+        h1, _ = _pbnd_to_zbnd(np.asarray([h1]), prof, ref_lat, re)[0], None
+        h1 = float(np.atleast_1d(h1)[0])
+        h2 = float(_pbnd_to_zbnd(np.asarray([h2]), prof, ref_lat, re)[0][0])
+        if h1 < 0 or h2 < 0:
+            raise ValueError("computed altitude of H1/H2 negative")
+    if zbnd is not None and len(zbnd) >= 1 and zbnd[0] < prof.zmdl[0]:
+        if abs(zbnd[0] - prof.zmdl[0]) <= 0.0001:
+            zbnd = zbnd.copy()
+            zbnd[0] = prof.zmdl[0]
+        else:
+            raise ValueError("boundaries outside of atmosphere")
+
+    engine = lay.PathEngine(prof, xvbar, re, nmol)
+    geo = engine.fscgeo(h1, h2, angle, range_, beta, itype, len_, hobs)
+
+    if ibmax == 0:
+        hmax = max(geo["h1"], geo["h2"])
+        zbnd, pbnd_a, tbnd_a = engine.autlay(geo["hmin"], hmax, xvbar,
+                                             avtrat, tdiff1, tdiff2,
+                                             altd1, altd2)
+
+    trace = engine.rfpath(geo["h1"], geo["h2"], geo["angle"], geo["phi"],
+                          geo["len"], geo["hmin"], 1, zbnd)
+    res = engine.fpack(trace, geo["h1"], geo["h2"], geo["len"], n_zero,
+                       iemit=1)
+
+    nlay = len(res.pbar)
+    state = LayerState(
+        p=res.pbar, t=res.tbar, tz=res.tz,
+        wkl=res.amount[:39].T.copy(), wbrodl=res.wn2l,
+        clw=np.zeros(nlay))
+    meta = ProfileMeta(nmol=nmol, angle=geo["angle"], h1=geo["h1"],
+                       h2=geo["h2"], altz=res.altz, pz=res.pz)
+    return Profile(state=state, meta=meta, hmod=prof.hmod)
+
+
+def profiles_from_tape5(filein, cfg) -> list[Profile]:
+    """All '$'-stacked IATM=1 profiles of a MONORTM.IN file."""
+    from monortm_tpu.io.tape5 import Tape5Reader
+    rd = Tape5Reader(filein)
+    out = []
+    while not rd.at_end():
+        blk = rd.read_block()
+        out.append(atmpth(blk.rest, blk.v1, blk.v2))
+    return out

@@ -103,7 +103,7 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     if iatm == 0:
         profiles = read_profiles(fileprof, ixsect=ixsect)
     else:
-        from monortm_tpu.atmos.layering import profiles_from_tape5
+        from monortm_tpu.atmos.tape5_atm import profiles_from_tape5
         profiles = profiles_from_tape5(filein, cfg)
     if len(profiles) != nprof:
         # '$'-recycling runs can differ; trust the parsed list
@@ -138,12 +138,15 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 clw=jnp.asarray(st.clw, dtype))
 
             irt = irt_from_angle(meta.angle)
-            res = model.forward(state_d, jnp.asarray(cfg.tbound, dtype),
+            tbound = cfg.tbound
+            if tbound < 0.0:       # FPACK: use TZ(0) (lblatm.f90:5952)
+                tbound = float(np.asarray(st.tz)[0])
+            res = model.forward(state_d, jnp.asarray(tbound, dtype),
                                 jnp.asarray(emis, dtype),
                                 jnp.asarray(refl, dtype), irt)
 
             writer.write_profile(npr, wn, res, st, meta, pwv, clw_col,
-                                 cfg.tbound, meta.angle)
+                                 tbound, meta.angle)
             if cfg.iod == 1:
                 writer.write_layer_ods(npr, wn, res.od.od_total, outdir)
 
