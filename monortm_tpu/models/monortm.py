@@ -40,29 +40,29 @@ class MonoRTM:
                  factors: ContinuumFactors = ContinuumFactors(),
                  line_cfg: LineConfig = LineConfig(),
                  dtype=jnp.float32,
-                 wn_tile: int = 128, line_tile: int = 4096,
-                 xsec_model=None):
+                 wn_tile: int = 128, line_tile: int = 4096):
         self.wn = np.asarray(wn, np.float64)
         self.dtype = dtype
         self.od_model = ODModel(wn, dvset, catalog, nmol=nmol,
                                 factors=factors, line_cfg=line_cfg,
                                 dtype=dtype, wn_tile=wn_tile,
-                                line_tile=line_tile, xsec_model=xsec_model)
+                                line_tile=line_tile)
 
-    def forward(self, state: LayerState, tsfc, emis, refl, irt: int
-                ) -> ForwardResult:
+    def forward(self, state: LayerState, tsfc, emis, refl, irt: int,
+                od_xsec=None) -> ForwardResult:
         """Complete forward computation for one (batched) profile set.
 
         tsfc: scalar or [...] surface temperature; emis/refl: [W] or
         [..., W] boundary spectra; irt: 1 up / 2 limb / 3 down (static).
         """
-        od = self.od_model(state)
+        od = self.od_model(state, od_xsec=od_xsec)
         wn_d = jnp.asarray(self.wn, self.dtype)
         rt = rtm(od.od_total, jnp.asarray(state.t, self.dtype)[..., None, :],
                  jnp.asarray(state.tz, self.dtype)[..., None, :],
                  wn_d, tsfc, emis, refl, irt)
         return ForwardResult(rt=rt, od=od, emis=emis, refl=refl)
 
-    def tb(self, state: LayerState, tsfc, emis, refl, irt: int):
+    def tb(self, state: LayerState, tsfc, emis, refl, irt: int,
+           od_xsec=None):
         """Brightness temperatures only (jit-friendly thin wrapper)."""
-        return self.forward(state, tsfc, emis, refl, irt).rt.tb
+        return self.forward(state, tsfc, emis, refl, irt, od_xsec).rt.tb

@@ -46,8 +46,7 @@ class ODModel:
                  factors: ContinuumFactors = ContinuumFactors(),
                  line_cfg: LineConfig = LineConfig(),
                  dtype=jnp.float32,
-                 wn_tile: int = 128, line_tile: int = 4096,
-                 xsec_model=None):
+                 wn_tile: int = 128, line_tile: int = 4096):
         self.wn64 = np.asarray(wn, np.float64)
         self.nwn = len(self.wn64)
         self.nmol = int(nmol)
@@ -57,7 +56,6 @@ class ODModel:
                                   nmol=nmol)
         self.catalog = catalog
         self.dev_cat = catalog_to_device(catalog, dtype)
-        self.xsec_model = xsec_model
 
         # wavenumber tiling (pad with sentinel far from any physical line)
         self.wn_tile = min(wn_tile, max(8, self.nwn))
@@ -122,7 +120,7 @@ class ODModel:
         return out[..., :self.nwn, :]
 
     # ------------------------------------------------------------------
-    def __call__(self, state: LayerState) -> ODResult:
+    def __call__(self, state: LayerState, od_xsec=None) -> ODResult:
         """Full OD computation (modm.f90:200-272).
 
         state fields carry layer axis last (after any profile batch axes).
@@ -145,9 +143,9 @@ class ODModel:
         o_clw = od_clw(wn_d, jnp.asarray(state.t, dtype)[..., None],
                        jnp.asarray(state.clw, dtype)[..., None])
 
-        o_x = None
-        if self.xsec_model is not None:
-            o_x = self.xsec_model(state.p, state.t, dtype=dtype)
+        # cross-section OD is precomputed on the host ([..., L, W];
+        # ops/xsec.py) — tiny workload, data-dependent truncation
+        o_x = None if od_xsec is None else jnp.asarray(od_xsec, dtype)
 
         total = jnp.sum(od_lines, axis=-1)                    # [..., L, W]
         for sp in SPECIES[:-1]:

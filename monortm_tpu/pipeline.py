@@ -137,13 +137,31 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 wbrodl=jnp.asarray(st.wbrodl, dtype),
                 clw=jnp.asarray(st.clw, dtype))
 
+            # cross-section molecules (IATM=0 layer amounts;
+            # monortm.f90:492-532 + MONORTM_XSEC_SUB)
+            od_xsec = None
+            if cfg.ixsect >= 1 and getattr(prof, "xamnt", None) is not None:
+                from monortm_tpu.io.fscdxs import read_fscdxs, read_xs_file
+                from monortm_tpu.ops.xsec import xsec_od
+                fdir = filein.parent
+                idx = read_fscdxs(fdir / "FSCDXS", prof.xsname,
+                                  float(wn.min()), float(wn.max()))
+                spectra = {}
+                for regs in idx.regions.values():
+                    for reg in regs:
+                        for f in reg.files:
+                            if f not in spectra:
+                                spectra[f] = read_xs_file(fdir / "xs" / f)
+                od_xsec = xsec_od(idx, spectra, wn, st.p, st.t, prof.xamnt)
+
             irt = irt_from_angle(meta.angle)
             tbound = cfg.tbound
             if tbound < 0.0:       # FPACK: use TZ(0) (lblatm.f90:5952)
                 tbound = float(np.asarray(st.tz)[0])
             res = model.forward(state_d, jnp.asarray(tbound, dtype),
                                 jnp.asarray(emis, dtype),
-                                jnp.asarray(refl, dtype), irt)
+                                jnp.asarray(refl, dtype), irt,
+                                od_xsec=od_xsec)
 
             writer.write_profile(npr, wn, res, st, meta, pwv, clw_col,
                                  tbound, meta.angle)
