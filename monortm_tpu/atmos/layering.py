@@ -1258,12 +1258,24 @@ class PathEngine:
                 "rhopsm": np.zeros(ipmax - 1),
                 "amtp": np.zeros((MXMOL, ipmax - 1)),
                 "sp": np.zeros(ipmax - 1)}
+        from monortm_tpu import native as _native
+        use_native = _native.available()
         for j in range(ipmax - 1):
             sh, gamma = r.scalht(zpth[j], zpth[j + 1], rfndxp[j],
                                  rfndxp[j + 1])
-            sinai, cosai, ds, dbend = self.alayer(
-                j, sinai, cosai, cpath, sh, gamma, iamt, zpth, pp, tp,
-                denp, sums)
+            nat = None
+            if use_native:
+                nat = _native.alayer_integrate(
+                    zpth[j], zpth[j + 1], pp[j], pp[j + 1], tp[j],
+                    tp[j + 1], denp[:, j], denp[:, j + 1], self.nmol,
+                    sinai, cosai, cpath, sh, gamma, self.re, DELTAS,
+                    GCAIR, iamt, sums, j)
+            if nat is not None:
+                sinai, cosai, ds, dbend = nat
+            else:
+                sinai, cosai, ds, dbend = self.alayer(
+                    j, sinai, cosai, cpath, sh, gamma, iamt, zpth, pp, tp,
+                    denp, sums)
             sums["sp"][j] = ds
             dbend = dbend * DEG
             phi_j = math.asin(min(max(sinai, -1.0), 1.0)) * DEG

@@ -327,7 +327,17 @@ def pack(r: ResolvedLines, tile: int = 128) -> PackedCatalog:
 
 
 def load_catalog(path, v1: float, v2: float, tile: int = 128) -> PackedCatalog:
-    """TAPE3 file -> packed catalog for wavenumber range [v1, v2]."""
+    """TAPE3 file -> packed catalog for wavenumber range [v1, v2].
+
+    Uses the native C++ group+resolve kernel when available (and when no
+    species-specific-broadening data is present — the IBRD arrays ride the
+    Python path); falls back to the pure-Python implementation.
+    """
     from monortm_tpu.io.tape3 import read_tape3
     raw = read_tape3(path, v1, v2)
+    if len(raw) and not np.any(raw.brd_mol_flg):
+        from monortm_tpu import native
+        r = native.group_resolve_lines(raw)
+        if r is not None:
+            return pack(r, tile=tile)
     return pack(resolve(group(raw)), tile=tile)

@@ -65,18 +65,70 @@ class ODModel:
         self.wn_tiles = wn_pad.reshape(-1, self.wn_tile)
         self.n_wtiles = self.wn_tiles.shape[0]
 
-        # line tiling: split the device catalog into stacked tiles
+        self._build_line_tiles(catalog, line_tile)
+
+    def _build_line_tiles(self, catalog: PackedCatalog, line_tile: int):
+        """Split the catalog into (a) O2 tiles — processed for every
+        wavenumber tile (no 25 cm^-1 cut for O2, modm.f90:384) — and
+        (b) nu-sorted windowed tiles with a static candidate list per
+        wavenumber tile.  Padding candidates point at tile 0; their
+        contributions are zeroed by the in-kernel window mask, so the
+        pruning is purely an optimisation with identical results."""
         n = len(catalog)
-        self.line_tile = min(line_tile, n)
-        assert n % self.line_tile == 0 or n == 0
-        self.n_ltiles = max(1, n // self.line_tile)
+        is_o2 = (catalog.mol == 7) & catalog.valid
+        idx_o2 = np.nonzero(is_o2)[0]
+        idx_win = np.nonzero(~is_o2 & catalog.valid)[0]
+        idx_win = idx_win[np.argsort(catalog.nu0[idx_win], kind="stable")]
 
-        def tile_col(v):
-            if v.ndim == 1:
-                return v.reshape(self.n_ltiles, self.line_tile)
-            return v.reshape(self.n_ltiles, self.line_tile, *v.shape[1:])
+        def tiles_from(idx):
+            nt = min(line_tile, max(8, len(idx)))
+            k = max(1, -(-len(idx) // nt))
+            full = np.zeros(k * nt, np.int64)
+            full[:len(idx)] = idx
+            mask = np.zeros(k * nt, bool)
+            mask[:len(idx)] = True
+            return full.reshape(k, nt), mask.reshape(k, nt)
 
-        self.dev_cat_tiled = {k: tile_col(v) for k, v in self.dev_cat.items()}
+        self._o2_rows = tiles_from(idx_o2) if len(idx_o2) else None
+        self._win_rows = tiles_from(idx_win) if len(idx_win) else None
+
+        def gather_tiles(rows_mask):
+            rows, mask = rows_mask
+            out = {k: jnp.asarray(np.asarray(v)[rows])
+                   for k, v in self.dev_cat.items()}
+            # padding rows repeat index 0 — mask them out explicitly
+            out["valid"] = jnp.asarray(
+                np.asarray(self.catalog.valid)[rows] & mask)
+            return out
+
+        self.o2_tiles = gather_tiles(self._o2_rows) \
+            if self._o2_rows is not None else None
+        self.win_tiles = gather_tiles(self._win_rows) \
+            if self._win_rows is not None else None
+
+        # candidate windowed tiles per wavenumber tile (host, static)
+        if self._win_rows is not None:
+            rows, mask = self._win_rows
+            nu = np.where(mask, catalog.nu0[rows], np.nan)
+            lo = np.nanmin(nu, axis=1) - 25.0
+            hi = np.nanmax(nu, axis=1) + 25.0
+            cands = []
+            for wt in self.wn_tiles:
+                w = wt[wt < 9.0e5]
+                wmin, wmax = (w.min(), w.max()) if len(w) else (0.0, 0.0)
+                sel = np.nonzero((lo <= wmax) & (hi >= wmin))[0]
+                cands.append(sel)
+            kmax = max((len(c) for c in cands), default=0)
+            self.n_cand = max(kmax, 1)
+            cand_idx = np.zeros((self.n_wtiles, self.n_cand), np.int32)
+            cand_mask = np.zeros((self.n_wtiles, self.n_cand), bool)
+            for i, c in enumerate(cands):
+                cand_idx[i, :len(c)] = c
+                cand_mask[i, :len(c)] = True
+            self.cand_idx = jnp.asarray(cand_idx)
+            self.cand_mask = jnp.asarray(cand_mask)
+        else:
+            self.n_cand = 0
 
     # ------------------------------------------------------------------
     def line_od(self, state: LayerState, scor_flat):
@@ -89,7 +141,8 @@ class ODModel:
         wk = jnp.asarray(state.wkl, dtype)
         wb = jnp.asarray(state.wbrodl, dtype)
 
-        def one_wtile(wn_chunk64):
+        def one_wtile(args):
+            wn_chunk64, cand_idx, cand_mask = args
             if dtype == jnp.float64:
                 wn_c = wn_chunk64
                 split = None
@@ -99,18 +152,39 @@ class ODModel:
                 wn_c = wn_hi.astype(dtype)
                 split = (wn_hi.astype(dtype), wn_lo.astype(dtype))
 
-            def body(acc, cat_tile):
-                od = line_od_block(cat_tile, wn_c, split, p, t, wk, wb,
-                                   scor_flat, self.line_cfg, self.nmol,
-                                   dtype)
-                return acc + od, None
-
             init = jnp.zeros(t.shape + (self.wn_tile, self.nmol), dtype)
-            acc, _ = jax.lax.scan(body, init, self.dev_cat_tiled)
+            acc = init
+
+            def block(cat_tile):
+                return line_od_block(cat_tile, wn_c, split, p, t, wk, wb,
+                                     scor_flat, self.line_cfg, self.nmol,
+                                     dtype)
+
+            if self.win_tiles is not None:
+                def body_w(a, km):
+                    k, m = km
+                    tile = jax.tree_util.tree_map(lambda v: v[k],
+                                                  self.win_tiles)
+                    od = block(tile)
+                    return a + jnp.where(m, od, 0.0), None
+
+                acc, _ = jax.lax.scan(body_w, acc, (cand_idx, cand_mask))
+
+            if self.o2_tiles is not None:
+                def body_o2(a, tile):
+                    return a + block(tile), None
+
+                acc, _ = jax.lax.scan(body_o2, acc, self.o2_tiles)
             return acc
 
         # [n_wtiles, ..., wn_tile, M]
-        tiles = jax.lax.map(one_wtile, wn_t)
+        if self.n_cand:
+            cargs = (wn_t, self.cand_idx, self.cand_mask)
+        else:
+            cargs = (wn_t,
+                     jnp.zeros((self.n_wtiles, 0), jnp.int32),
+                     jnp.zeros((self.n_wtiles, 0), bool))
+        tiles = jax.lax.map(one_wtile, cargs)
         # -> [..., n_wtiles*wn_tile, M] -> crop padding
         perm = tuple(range(1, tiles.ndim - 2)) + (0, tiles.ndim - 2,
                                                   tiles.ndim - 1)

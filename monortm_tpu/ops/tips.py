@@ -61,11 +61,19 @@ def _lagrange_q(t, tdat, q):
     w2 = jnp.where(use3, w3_2, w4_2)
     w3 = jnp.where(use3, 0.0, w4_3)
 
-    # gather q at base-2 .. base+1 along temperature axis
-    qt = (w0[..., None, None] * q[..., base - 2]
-          + w1[..., None, None] * q[..., base - 1]
-          + w2[..., None, None] * q[..., base]
-          + w3[..., None, None] * q[..., jnp.minimum(base + 1, npt - 1)])
+    # gather q at base-2 .. base+1 along the temperature axis, moving any
+    # batch axes of t in front of the (mol, iso) axes
+    def gq(idx):
+        g = q[..., idx]                       # [39, 9] or [39, 9, ...batch]
+        if idx.ndim:
+            g = jnp.moveaxis(g, tuple(range(-idx.ndim, 0)),
+                             tuple(range(idx.ndim)))
+        return g
+
+    qt = (w0[..., None, None] * gq(base - 2)
+          + w1[..., None, None] * gq(base - 1)
+          + w2[..., None, None] * gq(base)
+          + w3[..., None, None] * gq(jnp.minimum(base + 1, npt - 1)))
     return qt
 
 
