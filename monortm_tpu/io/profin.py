@@ -189,8 +189,10 @@ def read_profiles(path: str | Path, ixsect: int = 0) -> list[Profile]:
     rd = ProfInReader(path)
     out = []
     while not rd.at_end():
-        # skip blank lines between profiles
-        while not rd.at_end() and not rd.lines[rd.pos].strip():
+        # skip blanks and TAPE7 '$' header lines (lblatm.f90:626 writes
+        # one; the reference profile reader never consumes it)
+        while not rd.at_end() and (not rd.lines[rd.pos].strip()
+                                   or rd.lines[rd.pos].startswith("$")):
             rd.pos += 1
         if rd.at_end():
             break

@@ -140,3 +140,20 @@ def test_user_profile_rh_units():
     assert np.all(st.wkl[:, 1] > 0)           # CO2 defaulted from US std
     assert np.all(st.wkl[:, 6] > 0)           # O2 defaulted
     assert st.tz[0] == pytest.approx(245.45)
+
+
+def test_tape7_roundtrip(tmp_path):
+    # layering output written as TAPE7 re-reads as an IATM=0 profile
+    # (README.md:52 workflow; formats lblatm.f90:1272-1424)
+    from monortm_tpu.io.tape7 import write_tape7
+    from monortm_tpu.io.profin import read_profiles
+    prof = atmpth(CASE1_REST[:3], 0.2, 1.2)
+    p = tmp_path / "TAPE7"
+    write_tape7(p, [prof])
+    back = read_profiles(p)[0]
+    np.testing.assert_allclose(back.state.p, prof.state.p, rtol=2e-6)
+    np.testing.assert_allclose(back.state.t, prof.state.t, atol=0.01)
+    np.testing.assert_allclose(back.state.wkl[:, :7],
+                               prof.state.wkl[:, :7], rtol=1e-6)
+    np.testing.assert_allclose(back.state.tz, prof.state.tz, atol=0.01)
+    assert back.meta.nmol == prof.meta.nmol
