@@ -99,24 +99,20 @@ class ProfInReader:
             tz[il + 1] = _f(r[base + 15:base + 22])
             clw[il] = _f(r[base + 22:base + 29])
 
-            # molecular amounts: 978 FORMAT (8E15.7)
+            # molecular amounts: 978 FORMAT (8E15.7); a single formatted
+            # READ (WKL(K,IL),K=8,NMOL) consumes ceil((nmol-7)/8) rows
             r = self._next().ljust(120)
             for k in range(7):
                 wkl[il, k] = _f(r[k * 15:(k + 1) * 15])
             wbrodl[il] = _f(r[7 * 15:8 * 15])
-            nm = nmol
-            got = 8
-            while nm > 7:
+            k = 7
+            while k < nmol:
                 r = self._next().ljust(120)
-                hi = min(nm, 7 + 8)
-                for k in range(7, hi):
-                    wkl[il, k] = _f(r[(k - 7) * 15:(k - 6) * 15])
-                nm -= 8
-                # reference reads (WKL(K,IL),K=8,NMOL) in one go with 8/row
-                if nmol <= 15:
-                    break
-                # continue rows (rare; nmol>15)
-                raise NotImplementedError("nmol > 15 amount rows")
+                for col in range(8):
+                    if k >= nmol:
+                        break
+                    wkl[il, k] = _f(r[col * 15:(col + 1) * 15])
+                    k += 1
 
             # mixing-ratio -> column density (monortm.f90:414-483)
             wdnsty = wbrodl[il]

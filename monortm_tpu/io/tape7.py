@@ -63,7 +63,9 @@ def write_tape7(path: str | Path, profiles: list[Profile], xid: str = "",
                               for k in range(7))
                 row += f"{float(st.wbrodl[l]):15.7E}"
                 fh.write(row + "\n")
-                if meta.nmol > 7:
+                # (WKL(K),K=8,NMOL) wraps every 8 values (format 978)
+                for start in range(7, meta.nmol, 8):
                     row = "".join(f"{float(st.wkl[l, k]):15.7E}"
-                                  for k in range(7, meta.nmol))
+                                  for k in range(start,
+                                                 min(start + 8, meta.nmol)))
                     fh.write(row + "\n")
