@@ -63,6 +63,10 @@ def catalog_to_device(cat: PackedCatalog, dtype=jnp.float32) -> dict:
         "a1": f(cat.a1), "b1": f(cat.b1), "a2": f(cat.a2), "b2": f(cat.b2),
         "self_mix": jnp.asarray(cat.self_mix),
         "valid": jnp.asarray(cat.valid),
+        "brd_flg": jnp.asarray(cat.brd_flg, jnp.int32),
+        "brd_hw": f(cat.brd_hw),
+        "brd_tmp": f(cat.brd_tmp),
+        "brd_shft": f(cat.brd_shft),
     }
     if dtype == jnp.float64:
         d["nu0"] = jnp.asarray(cat.nu0, jnp.float64)
@@ -97,8 +101,12 @@ def _coupling_coeffs(cat, t, rhorat, rho_mol, cfg: LineConfig):
                   cat["b1"])
 
     def interp(coef):
-        lo = jnp.take_along_axis(coef, jnp.broadcast_to(ilc, coef.shape[:-1] + (1,)), -1)[..., 0]
-        hi = jnp.take_along_axis(coef, jnp.broadcast_to(ilc + 1, coef.shape[:-1] + (1,)), -1)[..., 0]
+        # coef: [..., N, 4]; ilc: [..., 1] -> add a line axis for the gather
+        idx = ilc[..., None, :] if ilc.ndim > 1 else ilc[None, :]
+        lo = jnp.take_along_axis(
+            coef, jnp.broadcast_to(idx, coef.shape[:-1] + (1,)), -1)[..., 0]
+        hi = jnp.take_along_axis(
+            coef, jnp.broadcast_to(idx + 1, coef.shape[:-1] + (1,)), -1)[..., 0]
         return lo + (hi - lo) * rectlc[..., 0:1] * tmpdif[..., 0:1]
 
     aip = interp(a)
@@ -145,8 +153,16 @@ def line_od_block(cat: dict, wn, wn_split, p, t, wk, wbrod, scor_flat,
 
     aip, bip = _coupling_coeffs(cat, t_, rhorat, rho_mol, cfg)
 
-    # pressure-shifted centre (modm.f90:375)
+    # pressure-shifted centre (modm.f90:375) with the optional
+    # species-specific-broadening shift adjustment (modm.f90:377-380)
     shift = cat["pshift"] * rhorat[..., None]                 # [..., N]
+    if cfg.ibrd != 0:
+        rho7 = rhorat[..., None] * wk[..., :7] / wtot[..., None]  # [..., 7]
+        brd_on = (cat["mol"] <= 7)[..., None].astype(shift.dtype)
+        dshift = jnp.einsum("...j,nj->...n", rho7,
+                            jnp.asarray(cat["brd_flg"], shift.dtype)
+                            * (cat["brd_shft"] - cat["pshift"][:, None]))
+        shift = shift + brd_on[..., 0] * dshift
     if dtype == jnp.float64:
         xnu = cat["nu0"] + shift
         d1 = wn[..., :, None] - xnu[..., None, :]             # [..., W, N]
@@ -170,6 +186,22 @@ def line_od_block(cat: dict, wn, wn_split, p, t, wk, wbrod, scor_flat,
     alfa0 = cat["alpf"] * rtx
     hwhms = cat["alps"] * rtx
     hwhm_c = alfa0 * (rhorat[..., None] - rho_mol) + hwhms * rho_mol
+    if cfg.ibrd != 0:
+        rho7 = rhorat[..., None] * wk[..., :7] / wtot[..., None]
+        flg = jnp.asarray(cat["brd_flg"], hwhm_c.dtype)        # [N, 7]
+        has_brd = (jnp.sum(flg, axis=-1) > 0) & (cat["mol"] <= 7)
+        tmpcor = rt[..., None, None] ** cat["brd_tmp"]         # [..., N, 7]
+        alfa_tmp = cat["brd_hw"] * tmpcor
+        alfsum = jnp.einsum("...j,...nj->...n", rho7, flg * alfa_tmp) \
+            if alfa_tmp.ndim > 2 else jnp.einsum("j,nj->n", rho7, flg * alfa_tmp)
+        rho_flg = jnp.einsum("...j,nj->...n", rho7, flg)
+        hw_brd = (rhorat[..., None] - rho_flg) * alfa0 + alfsum
+        own_flg = jnp.take_along_axis(
+            jnp.asarray(cat["brd_flg"]),
+            jnp.clip(cat["mol"] - 1, 0, 6)[:, None], axis=1)[:, 0]
+        hw_brd = jnp.where(own_flg == 0,
+                           hw_brd + rho_mol * (hwhms - alfa0), hw_brd)
+        hwhm_c = jnp.where(has_brd, hw_brd, hwhm_c)
     hwhm_c = jnp.where(cat["xg"] == -3,
                        hwhm_c * (1.0 - aip * rp[..., None] - bip * rp2[..., None]),
                        hwhm_c)

@@ -113,6 +113,26 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     out = RunResult(wn=wn, tb=[], rad=[], results=[])
     writer = OutputWriter(Path(outdir) / fileout)
 
+    # MONORTM.LOG (unit IPR=66 in the reference, monortm.f90:322-325):
+    # control-record echo, line-file stats, per-profile notes
+    log = open(Path(outdir) / "MONORTM.LOG", "w")
+    log.write(" HIRAC    CNTNM    EMISS     PLOT     IATM      IOD"
+              "    XSECT     ISPD     IBRD\n")
+    log.write(f"{cfg.ihirac:5d}{cfg.icntnm:9d}{cfg.iemit:9d}"
+              f"{cfg.iplot:9d}{cfg.iatm:9d}{cfg.iod:9d}{cfg.ixsect:9d}"
+              f"{cfg.ispd:9d}{cfg.ibrd:9d}\n")
+    log.write(f"0 TBOUND   = {cfg.tbound:12.4f}     BOUNDARY EMISSIVITY"
+              f"   = {cfg.bndemi[0]:11.3E}{cfg.bndemi[1]:11.3E}"
+              f"{cfg.bndemi[2]:11.3E}\n")
+    log.write("   LINE FILE INFORMATION\n")
+    import collections
+    mol_counts = collections.Counter(
+        int(m) for m, v in zip(catalog.mol, catalog.valid) if v)
+    from monortm_tpu.data.loader import HMOLC
+    for m in sorted(mol_counts):
+        log.write(f"    {HMOLC[m-1]:>6s} = {mol_counts[m]:6d}\n")
+    log.write(f"0 TOTAL NUMBER OF LINES ={catalog.n_lines:8d}\n")
+
     with writer:
         for npr, prof in enumerate(profiles, start=1):
             st, meta = prof.state, prof.meta
@@ -154,6 +174,13 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                                 spectra[f] = read_xs_file(fdir / "xs" / f)
                 od_xsec = xsec_od(idx, spectra, wn, st.p, st.t, prof.xamnt)
 
+            # optional TES cloud OD file (see io/cldod.py)
+            cld_file = filein.parent / "in_lblrtm_cld"
+            if cld_file.exists():
+                from monortm_tpu.io.cldod import cloud_od_on_grid
+                extra = cloud_od_on_grid(cld_file, wn, st.t.shape[-1])
+                od_xsec = extra if od_xsec is None else od_xsec + extra
+
             irt = irt_from_angle(meta.angle)
             tbound = cfg.tbound
             if tbound < 0.0:       # FPACK: use TZ(0) (lblatm.f90:5952)
@@ -171,5 +198,9 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             out.tb.append(np.asarray(res.rt.tb))
             out.rad.append(np.asarray(res.rt.rad))
             out.results.append(res)
+            log.write(f"PROFILE {npr:5d}: NLAYRS={st.t.shape[-1]:4d} "
+                      f"ANGLE={meta.angle:8.3f} IRT={irt} "
+                      f"PWV={pwv:8.4f} CLW={clw_col:8.4f}\n")
             print(f"PROCESSING PROFILE NUMBER: {npr:5d}")
+    log.close()
     return out

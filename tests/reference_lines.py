@@ -146,7 +146,7 @@ def lsf_lortz(xf, rp, rp2, aip, bip, hwhm, wn, xnu, mol):
 
 
 def lines_ref(g, wn, t, p, wk, wbrod, scor, sclcpl=1.0, sclhw=1.0,
-              y0res=0.0):
+              y0res=0.0, ibrd=0):
     """One wavenumber, one layer -> o_by_mol[39] (modm.f90:277-440)."""
     smass = loader.isotopes()["smass"]
     nmol = 39
@@ -218,6 +218,10 @@ def lines_ref(g, wn, t, p, wk, wbrod, scor, sclcpl=1.0, sclhw=1.0,
             s0_adj = s0[j] * (xnu0[j] * (1.0 - np.exp(-cst.RADCT * xnu0[j]
                                                       / cst.T0)))
             xnu = xnu0[j] + deltnu[j] * (xn / xn0)
+            if i <= 7 and ibrd != 0:
+                # SBS shift adjustment (modm.f90:377-380)
+                xnu = xnu + np.sum(rho_molec * g.brd_flg[i][j]
+                                   * (g.brd_shft[i][j] - deltnu[j]))
 
             if abs(wn - xnu) > DELTNUC and i != 7:
                 j = jj + 1
@@ -234,8 +238,19 @@ def lines_ref(g, wn, t, p, wk, wbrod, scor, sclcpl=1.0, sclhw=1.0,
             # and the device engine use rho = rhorat*wk(mol)/wtot for all
             # molecules, which coincides with the reference for mol<=7.
             rho_m = rhorat * wk[i - 1] / wtot
-            hwhm_c = alpf[j] * rt**xtild * (rhorat - rho_m) \
-                + alps[j] * rt**xtild * rho_m
+            alfa0i = alpf[j] * rt**xtild
+            hwhmsi = alps[j] * rt**xtild
+            hwhm_c = alfa0i * (rhorat - rho_m) + hwhmsi * rho_m
+            if i <= 7 and ibrd != 0 and np.sum(g.brd_flg[i][j]) > 0:
+                # HALFWHM_C SBS branch (modm.f90:848-856)
+                flg = g.brd_flg[i][j]
+                tmpcor = rt ** g.brd_tmp[i][j]
+                alfa_tmp = g.brd_hw[i][j] * tmpcor
+                alfsum = np.sum(rho_molec * flg * alfa_tmp)
+                hwhm_c = (rhorat - np.sum(rho_molec * flg)) * alfa0i \
+                    + alfsum
+                if flg[i - 1] == 0:
+                    hwhm_c = hwhm_c + rho_m * (hwhmsi - alfa0i)
 
             m = smass[i - 1, int(np.clip(iso[j], 1, 9)) - 1]
             if m <= 0:

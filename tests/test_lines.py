@@ -173,3 +173,45 @@ def test_device_od_batched_layers(catalog):
                         jnp.asarray([2.0e22, 1.0e22]), scor,
                         LineConfig(), n_mol=39, dtype=jnp.float64)
     assert out.shape == (2, 2, 39)
+
+
+def test_device_od_ibrd_matches_oracle(tmp_path):
+    """Species-specific broadening (IBRD=1): SBS halfwidth + shift."""
+    raw = synthetic_raw()
+    # give the first H2O line broadening data for H2O/CO2/O2 partners
+    raw.brd_mol_flg[0, [0, 1, 6]] = 1
+    raw.brd_mol_hw[0, [0, 1, 6]] = [0.45, 0.11, 0.05]
+    raw.brd_mol_tmp[0, [0, 1, 6]] = [0.7, 0.6, 0.75]
+    raw.brd_mol_shft[0, [0, 1, 6]] = [-0.012, 0.002, 0.001]
+    path = tmp_path / "TAPE3"
+    write_tape3(path, raw)
+    rd = read_tape3(path, 0.1, 10.0)
+    g = group(rd)
+    cat = pack(resolve(g), tile=8)
+    dev = catalog_to_device(cat, jnp.float64)
+    cfg = LineConfig(ibrd=1)
+
+    wn = np.asarray([0.6, 0.741721, 0.9])
+    p, t = 950.0, 282.0
+    wk = np.zeros(39)
+    wk[0] = 5.0e21
+    wk[1] = 6.0e20
+    wk[6] = 4.0e23
+    wbrod = 2.0e22
+    from monortm_tpu.ops.tips import tips_scor_numpy
+    from tests.reference_lines import lines_ref
+    scor = tips_scor_numpy(t)
+    got = np.asarray(line_od_block(
+        dev, jnp.asarray(wn), None, jnp.float64(p), jnp.float64(t),
+        jnp.asarray(wk), jnp.float64(wbrod), jnp.asarray(scor.reshape(-1)),
+        cfg, n_mol=39, dtype=jnp.float64))
+    for iw, w in enumerate(wn):
+        want = lines_ref(g, w, t, p, wk, wbrod, scor, ibrd=1)
+        np.testing.assert_allclose(got[iw], want, rtol=2e-7, atol=1e-15,
+                                   err_msg=f"wn={w}")
+    # and the H2O OD actually changes vs ibrd=0
+    got0 = np.asarray(line_od_block(
+        dev, jnp.asarray(wn), None, jnp.float64(p), jnp.float64(t),
+        jnp.asarray(wk), jnp.float64(wbrod), jnp.asarray(scor.reshape(-1)),
+        LineConfig(ibrd=0), n_mol=39, dtype=jnp.float64))
+    assert not np.allclose(got[1, 0], got0[1, 0], rtol=1e-6)
