@@ -150,7 +150,8 @@ def _pbnd_to_zbnd(pbnd, prof: lay.ModelProfile, ref_lat, re):
     return out_z, out_t
 
 
-def atmpth(rest: list[str], v1: float, v2: float) -> Profile:
+def atmpth(rest: list[str], v1: float, v2: float, ixsect: int = 0,
+           fscdxs_dir=None) -> Profile:
     """One LBLATM invocation over the record block following record 1.4.
 
     Returns a Profile whose state mirrors the /PATHD/ COMMON the driver
@@ -308,6 +309,12 @@ def atmpth(rest: list[str], v1: float, v2: float) -> Profile:
     res = engine.fpack(trace, geo["h1"], geo["h2"], geo["len"], n_zero,
                        iemit=1)
 
+    xamnt = xsname = None
+    if ixsect >= 1 and fscdxs_dir is not None:
+        xamnt, xsname = xamnts(rd, prof, engine, geo, zbnd, nmol,
+                               v1 - 25.0, v2 + 25.0, fscdxs_dir)
+        xamnt = xamnt[:, :len(res.pbar)]
+
     nlay = len(res.pbar)
     state = LayerState(
         p=res.pbar, t=res.tbar, tz=res.tz,
@@ -315,15 +322,108 @@ def atmpth(rest: list[str], v1: float, v2: float) -> Profile:
         clw=np.zeros(nlay))
     meta = ProfileMeta(nmol=nmol, angle=geo["angle"], h1=geo["h1"],
                        h2=geo["h2"], altz=res.altz, pz=res.pz)
-    return Profile(state=state, meta=meta, hmod=prof.hmod)
+    return Profile(state=state, meta=meta, hmod=prof.hmod,
+                   xamnt=xamnt, xsname=xsname)
 
 
 def profiles_from_tape5(filein, cfg) -> list[Profile]:
     """All '$'-stacked IATM=1 profiles of a MONORTM.IN file."""
+    from pathlib import Path
     from monortm_tpu.io.tape5 import Tape5Reader
     rd = Tape5Reader(filein)
     out = []
     while not rd.at_end():
         blk = rd.read_block()
-        out.append(atmpth(blk.rest, blk.v1, blk.v2))
+        out.append(atmpth(blk.rest, blk.v1, blk.v2, ixsect=blk.ixsect,
+                          fscdxs_dir=Path(filein).parent))
     return out
+
+
+def xamnts(rd: AtmRecordReader, prof: lay.ModelProfile,
+           engine: "lay.PathEngine", geo: dict, zbnd, nmol: int,
+           xv1: float, xv2: float, fscdxs_dir):
+    """Cross-section layer amounts for IATM=1 (XAMNTS, lblatm.f90:6160-6660).
+
+    Reads records 3.7/3.7.1 (+3.8 for user profiles), builds xsec density
+    profiles on the ZMDL grid, re-runs the ray trace with those densities
+    and condenses the amounts onto the output layers (n_zero forced to 1 —
+    no 0.1% zeroing for cross-sections).
+    """
+    from monortm_tpu.io.fscdxs import read_fscdxs
+    from monortm_tpu.data import loader
+
+    r = rd.next().ljust(15)
+    ixmols = _i(r[0:5])
+    iprfl = _i(r[5:10])
+    # record 3.7.1: names, 8A10 per row
+    names = []
+    while len(names) < ixmols:
+        row = rd.next()
+        names += [row[i * 10:(i + 1) * 10].strip() for i in range(8)
+                  if row[i * 10:(i + 1) * 10].strip()]
+    names = names[:ixmols]
+    idx = read_fscdxs(fscdxs_dir / "FSCDXS", names, xv1, xv2)
+
+    t = loader._load("mlatm")
+    if iprfl > 0:
+        # standard AMOLX profiles (ppmv) on the altx grid
+        zx = t["altx"]
+        denx = np.stack([t["amolx"][i - 1] for i in idx.indices])
+    else:
+        # records 3.8: LAYX, IZORP, XTITLE then per-level z/p + values
+        r = rd.next().ljust(60)
+        layx = _i(r[0:5])
+        izorp = _i(r[5:10])
+        zx = np.zeros(layx)
+        denx = np.zeros((ixmols, layx))
+        jchars = []
+        for l in range(layx):
+            r = rd.next().ljust(60)
+            zx[l] = _f(r[0:10])
+            jchars.append(r[15:15 + ixmols])
+            r = rd.next().ljust(80)
+            for k in range(ixmols):
+                denx[k, l] = _f(r[k * 10:(k + 1) * 10])
+        if izorp == 1:
+            zx, _ = _pbnd_to_zbnd(zx, prof, 45.0, engine.re)
+        # JCHAR digits 1-6 default to the standard profile (XTRACT)
+        for l in range(layx):
+            for k in range(ixmols):
+                c = jchars[l][k] if k < len(jchars[l]) else " "
+                if c in "123456":
+                    denx[k, l] = np.interp(zx[l], t["altx"],
+                                           t["amolx"][idx.indices[k] - 1])
+
+    # interpolate (exponential) onto ZMDL and convert ppmv -> density
+    # (XINTRP, lblatm.f90:6994-7082)
+    denm_x = np.zeros((lay.MXMOL, prof.immax))
+    for li in range(prof.immax):
+        z = prof.zmdl[li]
+        lx = int(np.searchsorted(zx, z))
+        lx = min(max(lx, 1), len(zx) - 1)
+        a = (z - zx[lx - 1]) / (zx[lx] - zx[lx - 1])
+        dryair = lay.cst.ALOSMT * (prof.pm[li] / lay.PZERO) / \
+            (prof.tm[li] / lay.TZERO)
+        for k in range(ixmols):
+            v = lay.expint(denx[k, lx - 1], denx[k, lx], a)
+            denm_x[k, li] = dryair * v * 1.0e-6
+
+    # ray trace with the xsec densities on the same geometry
+    prof_x = lay.ModelProfile(zmdl=prof.zmdl, pm=prof.pm, tm=prof.tm,
+                              denm=denm_x, denw=prof.denw, hmod=prof.hmod)
+    eng_x = lay.PathEngine(prof_x, 1.0, engine.re, ixmols)
+    eng_x.zmax = engine.zmax
+    trace = eng_x.rfpath(geo["h1"], geo["h2"], geo["angle"], geo["phi"],
+                         geo["len"], geo["hmin"], 1, zbnd)
+    # condense amounts onto output layers (lblatm.f90:6420-6450)
+    zpth = trace["zpth"]
+    zout = list(trace["zout"])
+    amtp = trace["sums"]["amtp"]
+    nlay = len(zout) - 1
+    xamnt = np.zeros((ixmols, nlay))
+    iout = 0
+    for ip in range(len(zpth) - 1):
+        xamnt[:, iout] += amtp[:ixmols, ip]
+        if zpth[ip + 1] == zout[iout + 1]:
+            iout += 1
+    return xamnt, names
