@@ -157,3 +157,30 @@ def test_tape7_roundtrip(tmp_path):
                                prof.state.wkl[:, :7], rtol=1e-6)
     np.testing.assert_allclose(back.state.tz, prof.state.tz, atol=0.01)
     assert back.meta.nmol == prof.meta.nmol
+
+
+def test_xamnts_standard_profile(tmp_path):
+    """IATM=1 cross-sections: standard AMOLX profile -> layer amounts."""
+    # synthetic FSCDXS with CCL4 covering the test band
+    fscdxs = "\n".join([
+        " hdr", " hdr2",
+        f"{'CCL4':<10s}{780.0:10.4f}{820.0:10.4f}{0.1:10.8f}{2:5d}"
+        + " " * 5 + f"{91:5d}N" + " " * 4 + f"{'CCL4_T1':<10s}{'CCL4_T2':<10s}",
+        "%"])
+    (tmp_path / "FSCDXS").write_text(fscdxs + "\n")
+    rest = [
+        "    6    2    0    1    1    7    1",
+        "     0.000    30.000       0.000",
+        "     0.000     3.000     3.000     0.000     0.000",
+        "    1    1    0",           # record 3.7: IXMOLS=1, IPRFL=1 (std)
+        "CCL4      ",
+    ]
+    prof = atmpth(rest, 790.0, 810.0, ixsect=1, fscdxs_dir=tmp_path)
+    assert prof.xsname == ["CCL4"]
+    assert prof.xamnt is not None
+    nlay = len(prof.state.p)
+    assert prof.xamnt.shape == (1, nlay)
+    assert np.all(prof.xamnt >= 0)
+    # CCL4 ~0.1 ppbv near the surface -> column ~1e15-ish over 0-30 km
+    total = prof.xamnt.sum()
+    assert 1e13 < total < 1e17
