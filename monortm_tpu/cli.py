@@ -26,6 +26,9 @@ def main(argv=None):
                     default="float32")
     ap.add_argument("--wn-tile", type=int, default=128)
     ap.add_argument("--line-tile", type=int, default=4096)
+    ap.add_argument("--netcdf", action="store_true",
+                    help="also write MONORTM.NNNNN.nc per profile "
+                         "(USENETCDF build option of the reference)")
     args = ap.parse_args(argv)
 
     if args.precision == "float64":
@@ -38,7 +41,8 @@ def main(argv=None):
     t0 = time.time()
     res = run(filein=args.filein, fileprof=args.fileprof, hfile=args.hfile,
               fileout=args.fileout, outdir=args.outdir, dtype=dtype,
-              wn_tile=args.wn_tile, line_tile=args.line_tile)
+              wn_tile=args.wn_tile, line_tile=args.line_tile,
+              netcdf=args.netcdf)
     dt = time.time() - t0
     print(f"monortm-tpu: {len(res.tb)} profile(s) x {len(res.wn)} "
           f"wavenumber(s) in {dt:.2f}s")

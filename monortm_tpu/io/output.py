@@ -122,6 +122,83 @@ class OutputWriter:
                     fh.write(f"{freq[iw]:10.3f}{od[iw, j]:12.4E}\n")
 
 
+def write_netcdf(path, npr, wn, res, state, meta, pwv, clw_col, tsfc,
+                 angle):
+    """MONORTM.NNNNN.nc writer (USENETCDF path, monortm_sub.F90:698-778).
+
+    Same dimensions and variable names as the reference: FREQUENCY /
+    MOLECULE / LAYERS / STRING_LENGTH dims; per-wn vectors (BT, RAD,
+    TRANS, PWV, CLW, SFCT, EMIS, REFL, ANGLE, TMR, TOTAL_OD, XSEC_OD),
+    TOTAL_OD_BY_MOLECULE [mol, wn], LAYER_OPTICAL_DEPTH [wn, lay] and
+    LAYER_OPTICAL_DEPTH_BY_MOLECULE [wn, mol, lay] (= lines + continuum,
+    the reference's O_BY_MOL + OC).  Written as classic NetCDF-3 via
+    scipy (no external netcdf library in the image).
+    """
+    from scipy.io import netcdf_file
+
+    wn = np.asarray(wn, np.float64)
+    nwn = len(wn)
+    rt = res.rt
+    ids = _active_molecules(np.asarray(state.wkl),
+                            np.asarray(state.wbrodl), meta.nmol)
+    od_by_mol = np.asarray(res.od.od_by_mol)          # [W, M, L]
+    od_total = np.asarray(res.od.od_total)            # [W, L]
+    oc = {k: np.asarray(v) for k, v in res.od.oc.items()}
+    cont_of = {0: "h2o", 1: "co2", 2: "o3", 6: "o2", 21: "n2"}
+    nlay = od_total.shape[-1]
+    kount = len(ids)
+
+    by_mol_layer = np.zeros((nwn, kount, nlay), np.float32)
+    for k, im in enumerate(ids):
+        lay = od_by_mol[:, im, :]
+        if im in cont_of:
+            lay = lay + oc[cont_of[im]].T             # oc: [L, W]
+        by_mol_layer[:, k, :] = lay
+    tot_by_mol = by_mol_layer.sum(axis=-1).T          # [mol, wn]
+    odx = (np.asarray(res.od.od_xsec).sum(axis=0)
+           if res.od.od_xsec is not None else np.zeros(nwn))
+
+    with netcdf_file(str(path), "w") as nc:
+        nc.createDimension("FREQUENCY", nwn)
+        nc.createDimension("MOLECULE", kount)
+        nc.createDimension("LAYERS", nlay)
+        nc.createDimension("STRING_LENGTH", 8)
+
+        def vec(name, data, dt="d"):
+            v = nc.createVariable(name, dt, ("FREQUENCY",))
+            v[:] = np.asarray(data, np.float64 if dt == "d" else np.float32)
+
+        v = nc.createVariable("FREQUENCY", "d", ("FREQUENCY",))
+        v[:] = wn
+        v.units = b"cm-1       "
+        vec("BT", rt.tb)
+        vec("RAD", rt.rad)
+        vec("TRANS", rt.trtot)
+        vec("PWV", np.full(nwn, pwv))
+        vec("CLW", np.full(nwn, clw_col))
+        vec("SFCT", np.full(nwn, tsfc))
+        vec("EMIS", res.emis)
+        vec("REFL", res.refl)
+        vec("ANGLE", np.full(nwn, angle))
+        vec("TMR", rt.tmr)
+        vec("TOTAL_OD", od_total.sum(axis=-1))
+        v = nc.createVariable("TOTAL_OD_BY_MOLECULE", "d",
+                              ("MOLECULE", "FREQUENCY"))
+        v[:] = tot_by_mol
+        vec("XSEC_OD", odx)
+        v = nc.createVariable("MOLECULE", "c",
+                              ("MOLECULE", "STRING_LENGTH"))
+        for k, im in enumerate(ids):
+            v[k, :] = np.frombuffer(HMOLC[im].ljust(8)[:8].encode(),
+                                    dtype="S1")
+        v = nc.createVariable("LAYER_OPTICAL_DEPTH", "d",
+                              ("FREQUENCY", "LAYERS"))
+        v[:] = od_total
+        v = nc.createVariable("LAYER_OPTICAL_DEPTH_BY_MOLECULE", "f",
+                              ("FREQUENCY", "MOLECULE", "LAYERS"))
+        v[:] = by_mol_layer
+
+
 def write_npz(path, wn, res, state, meta, pwv, clw_col, tsfc, angle):
     """Structured archive with the reference NetCDF fields
     (monortm_sub.F90:729-772): per-wn results + per-layer OD by molecule."""

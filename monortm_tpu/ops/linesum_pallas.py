@@ -114,17 +114,20 @@ def _kernel(wn_hi_ref, wn_lo_ref,
     wn_lo = wn_lo_ref[0, :][:, None]
     nu_hi = nu_hi_ref[0, :][None, :]       # [1, Nt]
     nu_lo = nu_lo_ref[0, :][None, :]
-    shift = shift_ref[0, :][None, :]
-    xnu = xnu_ref[0, :][None, :]
-    stild = stild_ref[0, :][None, :]
-    hw = hw_ref[0, :][None, :]
-    ad = ad_ref[0, :][None, :]
-    zlor = zlor_ref[0, :][None, :]
-    k3v = k3v_ref[0, :][None, :]
-    k3l = k3l_ref[0, :][None, :]
-    ya = ya_ref[0, :][None, :]
-    yb = yb_ref[0, :][None, :]
-    sdep = sdep_ref[0, :][None, :]
+    # per-(layer, line) operands arrive as [L, 1, N] blocks of (1, 1, Nt)
+    # so that the blocked trailing dims (1, Nt) match the array dims --
+    # the Mosaic lowering requires (8,128)-divisible or full-dim blocks.
+    shift = shift_ref[0, 0, :][None, :]
+    xnu = xnu_ref[0, 0, :][None, :]
+    stild = stild_ref[0, 0, :][None, :]
+    hw = hw_ref[0, 0, :][None, :]
+    ad = ad_ref[0, 0, :][None, :]
+    zlor = zlor_ref[0, 0, :][None, :]
+    k3v = k3v_ref[0, 0, :][None, :]
+    k3l = k3l_ref[0, 0, :][None, :]
+    ya = ya_ref[0, 0, :][None, :]
+    yb = yb_ref[0, 0, :][None, :]
+    sdep = sdep_ref[0, 0, :][None, :]
     is_o2 = fo2_ref[0, :][None, :] > 0.5
     is_co2 = fco2_ref[0, :][None, :] > 0.5
     has_cpl = fcpl_ref[0, :][None, :] > 0.5
@@ -200,12 +203,6 @@ def line_od_pallas(cat: dict, wn64: np.ndarray, p, t, wk, wbrod, scor_flat,
 
     onehot = jax.nn.one_hot(cat["mol"] - 1, n_mol, dtype=dtype)
 
-    def b_l(x):  # [L, N] -> block (1, nt)
-        return pl.BlockSpec((1, nt), lambda l, j: (l, j))
-
-    def b_n(x):  # [N] (static per line) -> block (1, nt), broadcast over l
-        return pl.BlockSpec((1, nt), lambda l, j: (0, j))
-
     per_ln = ["shift", "xnu", "stild", "hw", "ad", "zlor", "k3v", "k3l",
               "ya", "yb", "sdep"]
     flags = ["o2", "co2", "cpl", "xf1", "xf15", "valid"]
@@ -221,8 +218,8 @@ def line_od_pallas(cat: dict, wn64: np.ndarray, p, t, wk, wbrod, scor_flat,
     for k in per_ln:
         v = pre[k]
         v = jnp.broadcast_to(v, (L, n)) if v.ndim == 1 else v
-        args.append(v)
-        in_specs.append(pl.BlockSpec((1, nt), lambda l, j: (l, j)))
+        args.append(v[:, None, :])           # [L, 1, N]
+        in_specs.append(pl.BlockSpec((1, 1, nt), lambda l, j: (l, 0, j)))
     for k in flags:
         args.append(pre["flags"][k][None, :])
         in_specs.append(pl.BlockSpec((1, nt), lambda l, j: (0, j)))

@@ -79,7 +79,8 @@ class RunResult:
 
 def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         fileout="MONORTM.OUT", outdir=".", dtype=jnp.float32,
-        wn_tile=128, line_tile=4096, emis_dir=None) -> RunResult:
+        wn_tile=128, line_tile=4096, emis_dir=None,
+        netcdf=False) -> RunResult:
     filein = Path(filein)
     iatm, ixsect, nprof = count_profiles(filein, fileprof)
 
@@ -194,6 +195,11 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                                  tbound, meta.angle)
             if cfg.iod == 1:
                 writer.write_layer_ods(npr, wn, res.od.od_total, outdir)
+            if netcdf:  # USENETCDF build option (monortm_sub.F90:698-778)
+                from monortm_tpu.io.output import write_netcdf
+                write_netcdf(Path(outdir) / f"MONORTM.{npr:05d}.nc", npr,
+                             wn, res, st, meta, pwv, clw_col, tbound,
+                             meta.angle)
 
             out.tb.append(np.asarray(res.rt.tb))
             out.rad.append(np.asarray(res.rt.rad))
