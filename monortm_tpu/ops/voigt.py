@@ -140,8 +140,12 @@ def xlorentz(z):
 
 def _sd_region_id(s, x_h, y_h):
     """Region per SD_Humlicek (boundaries 15/6; modm.f90:1160-1179)."""
-    r = jnp.where(s >= 15.0, 1, jnp.where(s >= 6.0, 2, 3))
-    r = jnp.where((r == 3) & (y_h < 0.195 * jnp.abs(x_h) - 0.176), 4, r)
+    # explicit int32 region ids: under jax_enable_x64 weak Python ints
+    # would become i64, which the Mosaic TPU kernel compiler rejects
+    i32 = jnp.int32
+    r = jnp.where(s >= 15.0, i32(1), jnp.where(s >= 6.0, i32(2), i32(3)))
+    r = jnp.where((r == 3) & (y_h < 0.195 * jnp.abs(x_h) - 0.176),
+                  i32(4), r)
     return r
 
 

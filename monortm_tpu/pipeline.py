@@ -22,6 +22,7 @@ from monortm_tpu.lines import load_catalog
 from monortm_tpu.models.monortm import MonoRTM
 from monortm_tpu.ops.lineshape import LineConfig
 from monortm_tpu.types import LayerState, irt_from_angle
+from monortm_tpu.utils.trace import StageTimer, profile_trace
 
 
 def profil_scal(wkl: np.ndarray, wbrodl: np.ndarray, nmol: int,
@@ -80,8 +81,9 @@ class RunResult:
 def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         fileout="MONORTM.OUT", outdir=".", dtype=jnp.float32,
         wn_tile=128, line_tile=4096, emis_dir=None,
-        netcdf=False) -> RunResult:
+        netcdf=False, profile_dir=None) -> RunResult:
     filein = Path(filein)
+    timer = StageTimer()
     iatm, ixsect, nprof = count_profiles(filein, fileprof)
 
     rd = Tape5Reader(filein)
@@ -90,8 +92,9 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     if cfg.nwn == 0:
         raise ValueError("no wavenumbers configured")
 
-    catalog = load_catalog(hfile, float(wn[0]), float(wn[-1]),
-                           tile=min(line_tile, 4096))
+    with timer.stage("line-catalog"):
+        catalog = load_catalog(hfile, float(wn[0]), float(wn[-1]),
+                               tile=min(line_tile, 4096))
 
     # boundary spectra (EMISS_REFLEC, monortm_sub.F90:506-516)
     ed = Path(emis_dir) if emis_dir else filein.parent / "in"
@@ -101,11 +104,12 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         wn, cfg.bndrfl, ed / "REFLECTION" if cfg.bndrfl[0] < 0 else None)
 
     # profiles
-    if iatm == 0:
-        profiles = read_profiles(fileprof, ixsect=ixsect)
-    else:
-        from monortm_tpu.atmos.tape5_atm import profiles_from_tape5
-        profiles = profiles_from_tape5(filein, cfg)
+    with timer.stage("profiles+layering"):
+        if iatm == 0:
+            profiles = read_profiles(fileprof, ixsect=ixsect)
+        else:
+            from monortm_tpu.atmos.tape5_atm import profiles_from_tape5
+            profiles = profiles_from_tape5(filein, cfg)
     if len(profiles) != nprof:
         # '$'-recycling runs can differ; trust the parsed list
         nprof = len(profiles)
@@ -134,7 +138,7 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         log.write(f"    {HMOLC[m-1]:>6s} = {mol_counts[m]:6d}\n")
     log.write(f"0 TOTAL NUMBER OF LINES ={catalog.n_lines:8d}\n")
 
-    with writer:
+    with writer, profile_trace(profile_dir):
         for npr, prof in enumerate(profiles, start=1):
             st, meta = prof.state, prof.meta
             wkl = st.wkl
@@ -186,13 +190,17 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             tbound = cfg.tbound
             if tbound < 0.0:       # FPACK: use TZ(0) (lblatm.f90:5952)
                 tbound = float(np.asarray(st.tz)[0])
-            res = model.forward(state_d, jnp.asarray(tbound, dtype),
-                                jnp.asarray(emis, dtype),
-                                jnp.asarray(refl, dtype), irt,
-                                od_xsec=od_xsec)
+            with timer.stage("device-forward"):
+                res = model.forward(state_d, jnp.asarray(tbound, dtype),
+                                    jnp.asarray(emis, dtype),
+                                    jnp.asarray(refl, dtype), irt,
+                                    od_xsec=od_xsec)
+                import jax
+                jax.block_until_ready(res.rt.tb)
 
-            writer.write_profile(npr, wn, res, st, meta, pwv, clw_col,
-                                 tbound, meta.angle)
+            with timer.stage("output"):
+                writer.write_profile(npr, wn, res, st, meta, pwv,
+                                     clw_col, tbound, meta.angle)
             if cfg.iod == 1:
                 writer.write_layer_ods(npr, wn, res.od.od_total, outdir)
             if netcdf:  # USENETCDF build option (monortm_sub.F90:698-778)
@@ -208,5 +216,6 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                       f"ANGLE={meta.angle:8.3f} IRT={irt} "
                       f"PWV={pwv:8.4f} CLW={clw_col:8.4f}\n")
             print(f"PROCESSING PROFILE NUMBER: {npr:5d}")
+    log.write(timer.report())
     log.close()
     return out
