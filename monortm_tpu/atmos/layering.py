@@ -1402,3 +1402,65 @@ class PathEngine:
             rhosum=rhosum[:lmax], altz=altz[:lmax + 1],
             pz=pz[:lmax + 1], tz=tz[:lmax + 1], ipath=ipath[:lmax],
             secnta=secnta[:lmax], zout=np.asarray(zout[:lmax + 1]))
+
+
+def fixtyp_layers(pbar, tbar, wtotl, amount_h2o, xvbar, iemit=1,
+                  sample=4.0):
+    """Per-layer ITYL DV-ratio codes (FIXTYP, lblatm.f90:6062-6156).
+
+    Computes the layer-to-layer DV ratio type from the mean Voigt width
+    AVBAR = (ALBAR + sqrt(ALBAR^2 + 4 ADBAR^2))/2 with ALZERO=0.04 cm-1,
+    AVMWT=36 (lblatm.f90:1772) and the H2O self-broadening factor
+    (1+4*FRH2O).  MonoRTM ignores the TAPE5 SAMPLE field
+    (monortm_sub.F90:219-224), so the LBLRTM default SAMPLE=4 is used;
+    ITYL is decorative for a monochromatic model but preserved for TAPE7
+    compatibility.  Returns int codes; layer 1 carries the reference's
+    sentinel 99.
+    """
+    pbar = np.asarray(pbar, np.float64)
+    tbar = np.asarray(tbar, np.float64)
+    wtotl = np.asarray(wtotl, np.float64)
+    amount_h2o = np.asarray(amount_h2o, np.float64)
+    n = len(pbar)
+    ityl = np.zeros(n, np.int64)
+    olddv = 0.0
+    for l in range(n):
+        frh2o = amount_h2o[l] / wtotl[l]
+        alfcor = (pbar[l] / PZERO) * np.sqrt(296.0 / tbar[l])
+        adbar = 3.581155e-07 * xvbar * np.sqrt(tbar[l] / 36.0)
+        h2oslf = 1.0 - frh2o + 5.0 * frh2o
+        albar = 0.04 * alfcor * h2oslf
+        avbar = 0.5 * (albar + np.sqrt(albar * albar
+                                       + 4.0 * adbar * adbar))
+        dv = avbar / sample
+        itype = 99
+        if l == 0:
+            # round DV to 3 significant (even) figures (lblatm.f90:6105-6114)
+            iscal = int(np.log10(dv) - 3.0)
+            scal = 10.0 ** iscal
+            idv = int(dv / scal + 0.5)
+            if idv % 2 > 0:
+                idv += 1
+            dv = scal * idv
+        else:
+            type_ = olddv / dv
+            if type_ > 2.5:
+                itype = 99          # reference flags IPROB/ISTOP
+            elif type_ >= 1.2:
+                itype = int(1.0 / (type_ - 1.0) + 0.5)
+                if itype == 3:
+                    itype = 2
+                dv = olddv * itype / (itype + 1.0)
+            elif type_ >= 0.8:
+                dv = olddv
+                itype = 0
+            else:
+                dv = olddv
+                itype = 0
+                if iemit != 1:
+                    itype = int(type_ / (1.0 - type_) + 0.5)
+                    dv = dv * (itype + 1.0) / itype
+                    itype = -itype
+        olddv = dv
+        ityl[l] = itype
+    return ityl

@@ -168,6 +168,7 @@ def atmpth(rest: list[str], v1: float, v2: float, ixsect: int = 0,
     noprnt = _i(r[20:25])
     nmol = _i(r[25:30])
     ipunch = _i(r[30:35])
+    ifxtyp = _i(r[35:37])          # I2 at cols 36-37 (lblatm.f90:581)
     re = _f(r[40:50])
     hspace = _f(r[50:60])
     xvbar = _f(r[60:70])
@@ -309,6 +310,20 @@ def atmpth(rest: list[str], v1: float, v2: float, ixsect: int = 0,
     res = engine.fpack(trace, geo["h1"], geo["h2"], geo["len"], n_zero,
                        iemit=1)
 
+    # ITYL DV-ratio codes + IFIXTYPE file round-trip (lblatm.f90:1292-1339)
+    ityl = None
+    if ifxtyp in (1, 2):
+        wtotl = res.amount[:nmol].sum(axis=0) + res.wn2l
+        ityl = lay.fixtyp_layers(res.pbar, res.tbar, wtotl,
+                                 res.amount[0], xvbar, iemit=1)
+        if ifxtyp == 2:
+            with open("IFIXTYPE", "w") as fh:
+                for v in ityl:
+                    fh.write(f"{int(v):3d}\n")
+    elif ifxtyp == -2:
+        vals = [int(x) for x in open("IFIXTYPE").read().split()]
+        ityl = np.asarray(vals[:len(res.pbar)], np.int64)
+
     xamnt = xsname = None
     if ixsect >= 1 and fscdxs_dir is not None:
         xamnt, xsname = xamnts(rd, prof, engine, geo, zbnd, nmol,
@@ -323,7 +338,7 @@ def atmpth(rest: list[str], v1: float, v2: float, ixsect: int = 0,
     meta = ProfileMeta(nmol=nmol, angle=geo["angle"], h1=geo["h1"],
                        h2=geo["h2"], altz=res.altz, pz=res.pz)
     return Profile(state=state, meta=meta, hmod=prof.hmod,
-                   xamnt=xamnt, xsname=xsname)
+                   xamnt=xamnt, xsname=xsname, ityl=ityl)
 
 
 def profiles_from_tape5(filein, cfg) -> list[Profile]:

@@ -37,6 +37,7 @@ class Profile:
     hmod: str = ""
     xamnt: np.ndarray | None = None     # [n_xsec_mol, nlay] if IXSECT
     xsname: list | None = None
+    ityl: np.ndarray | None = None      # ITYL DV-ratio codes (IFXTYP)
 
 
 class ProfInReader:

@@ -50,7 +50,10 @@ def write_tape7(path: str | Path, profiles: list[Profile], xid: str = "",
                 pa = f"{pbar:15.7E}" if pbar < 0.1 else f"{pbar:15.7G}"
                 if len(pa) > 15:
                     pa = f"{pbar:15.7E}"
-                head = f"{pa}{float(st.t[l]):10.2f}" + " " * 10 + "   " \
+                # CTYPE a3 slot after SECNTK (blank unless IFXTYP set)
+                ctype = (f"{int(prof.ityl[l]):3d}"
+                         if prof.ityl is not None else "   ")
+                head = f"{pa}{float(st.t[l]):10.2f}" + " " * 10 + ctype \
                     + f"{ipath:2d} "
                 if l == 0:
                     head += (f"{altz[0]:7.3f}{_pz_fmt(pz[0])}{tz[0]:7.2f}"

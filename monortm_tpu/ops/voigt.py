@@ -18,6 +18,8 @@ straight into the Pallas line-sum kernel.  All control flow is data-parallel
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from monortm_tpu import constants as c
@@ -189,7 +191,9 @@ def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4):
 
     tmp = jnp.sqrt(alfadelta * alfadelta + beta * beta)
     sqrt_delta = jnp.sqrt(delta)
-    x1 = (1.0 / jnp.sqrt(2.0)) * jnp.sqrt(tmp + alfadelta) - sqrt_delta
+    # 1/sqrt(2) as a weak-typed Python float: jnp.sqrt(2.0) would be a
+    # strong f64 constant under x64 and poison f32 Pallas kernels
+    x1 = (1.0 / math.sqrt(2.0)) * jnp.sqrt(tmp + alfadelta) - sqrt_delta
     x2 = x1 + 2.0 * sqrt_delta
     y1 = jnp.sign(beta) * jnp.sqrt((tmp - delta - alfa) / 2.0)
     y2 = y1

@@ -184,3 +184,29 @@ def test_xamnts_standard_profile(tmp_path):
     # CCL4 ~0.1 ppbv near the surface -> column ~1e15-ish over 0-30 km
     total = prof.xamnt.sum()
     assert 1e13 < total < 1e17
+
+
+def test_fixtyp_ityl_codes(tmp_path, monkeypatch):
+    """IFXTYP=1: ITYL DV-ratio codes computed (FIXTYP, lblatm.f90:6062-6156)
+    and written to the TAPE7 CTYPE column; IFXTYP=2 writes IFIXTYPE and
+    IFXTYP=-2 reads it back (lblatm.f90:1292-1339)."""
+    from monortm_tpu.io.tape7 import write_tape7
+    monkeypatch.chdir(tmp_path)
+    # record 3.1 with IFXTYP at cols 36-37
+    r31 = "    6    2    0    1    1   22    1 1"
+    rest = [r31] + CASE1_REST[1:3]
+    prof = atmpth(rest, 0.5, 1.0)
+    assert prof.ityl is not None
+    assert prof.ityl[0] == 99                 # layer-1 sentinel
+    assert np.all(np.abs(prof.ityl[1:]) < 99)
+    t7 = tmp_path / "TAPE7"
+    write_tape7(t7, [prof])
+    assert " 99" in t7.read_text().splitlines()[2]
+
+    # IFXTYP=2 -> writes IFIXTYPE; -2 -> reads it
+    r31w = "    6    2    0    1    1   22    1 2"
+    profw = atmpth([r31w] + CASE1_REST[1:3], 0.5, 1.0)
+    assert (tmp_path / "IFIXTYPE").exists()
+    r31r = "    6    2    0    1    1   22    1-2"
+    profr = atmpth([r31r] + CASE1_REST[1:3], 0.5, 1.0)
+    np.testing.assert_array_equal(profr.ityl, profw.ityl)
