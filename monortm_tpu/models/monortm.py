@@ -40,13 +40,15 @@ class MonoRTM:
                  factors: ContinuumFactors = ContinuumFactors(),
                  line_cfg: LineConfig = LineConfig(),
                  dtype=jnp.float32,
-                 wn_tile: int = 128, line_tile: int = 4096):
+                 wn_tile: int = 128, line_tile: int = 4096,
+                 use_pallas: bool = False):
         self.wn = np.asarray(wn, np.float64)
         self.dtype = dtype
         self.od_model = ODModel(wn, dvset, catalog, nmol=nmol,
                                 factors=factors, line_cfg=line_cfg,
                                 dtype=dtype, wn_tile=wn_tile,
-                                line_tile=line_tile)
+                                line_tile=line_tile,
+                                use_pallas=use_pallas)
 
     def forward(self, state: LayerState, tsfc, emis, refl, irt: int,
                 od_xsec=None) -> ForwardResult:

@@ -46,7 +46,8 @@ class ODModel:
                  factors: ContinuumFactors = ContinuumFactors(),
                  line_cfg: LineConfig = LineConfig(),
                  dtype=jnp.float32,
-                 wn_tile: int = 128, line_tile: int = 4096):
+                 wn_tile: int = 128, line_tile: int = 4096,
+                 use_pallas: bool = False):
         self.wn64 = np.asarray(wn, np.float64)
         self.nwn = len(self.wn64)
         self.nmol = int(nmol)
@@ -56,6 +57,8 @@ class ODModel:
                                   nmol=nmol)
         self.catalog = catalog
         self.dev_cat = catalog_to_device(catalog, dtype)
+        # Pallas line-sum fast path (f32 only; ops/linesum_pallas.py)
+        self.use_pallas = bool(use_pallas) and dtype == jnp.float32
 
         # wavenumber tiling (pad with sentinel far from any physical line)
         self.wn_tile = min(wn_tile, max(8, self.nwn))
@@ -131,6 +134,45 @@ class ODModel:
             self.n_cand = 0
 
     # ------------------------------------------------------------------
+    def _pallas_ltile(self) -> int:
+        """Line-tile size for the Pallas kernel: the lane (last) block dim
+        must be a multiple of 128 or span the whole array."""
+        n = int(self.dev_cat["mol"].shape[0])
+        if n <= 512:
+            return n
+        for d in (512, 384, 256, 128):
+            if n % d == 0:
+                return d
+        return n
+
+    def line_od_pallas(self, state: LayerState, scor_flat):
+        """Line OD via the Pallas kernel: [..., L, W, M].
+
+        Leading batch axes are flattened into the kernel's layer grid
+        dimension; the full (unpruned) catalog is swept per layer —
+        the in-kernel 25 cm^-1 window mask preserves exact semantics
+        and the [wn, line-tile] blocks keep the MXU busy, so skipping
+        the host-side candidate pruning costs little at MW line counts.
+        """
+        from monortm_tpu.ops.linesum_pallas import line_od_pallas
+
+        p = jnp.asarray(state.p, self.dtype)
+        lead = p.shape                       # [..., L]
+        nwn_pad = self.n_wtiles * self.wn_tile
+        wn_pad = self.wn_tiles.reshape(-1)   # padded f64 grid, sentinels 1e6
+
+        flat = lambda a, trail: jnp.asarray(a, self.dtype).reshape(
+            (-1,) + trail)
+        od = line_od_pallas(
+            self.dev_cat, wn_pad,
+            flat(state.p, ()), flat(state.t, ()),
+            flat(state.wkl, (state.wkl.shape[-1],)),
+            flat(state.wbrodl, ()),
+            scor_flat.reshape(-1, scor_flat.shape[-1]),
+            self.line_cfg, self.nmol, line_tile=self._pallas_ltile())
+        od = od.reshape(lead + (nwn_pad, self.nmol))
+        return od[..., :self.nwn, :]
+
     def line_od(self, state: LayerState, scor_flat):
         """Per-molecule line OD [..., W, M, L] over the full grid."""
         dtype = self.dtype
@@ -207,7 +249,10 @@ class ODModel:
         scor_flat = scor.reshape(scor.shape[:-2] + (39 * 9,))
 
         # lines: [..., L, W, M] (layer axis comes from broadcasting p/t)
-        od_lines = self.line_od(state, scor_flat)
+        if self.use_pallas:
+            od_lines = self.line_od_pallas(state, scor_flat)
+        else:
+            od_lines = self.line_od(state, scor_flat)
 
         # continuum per species: dict -> [..., L, W]
         oc = self.cont(state.p, state.t, state.wkl, state.wbrodl, dtype=dtype)

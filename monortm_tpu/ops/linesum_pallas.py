@@ -207,11 +207,15 @@ def line_od_pallas(cat: dict, wn64: np.ndarray, p, t, wk, wbrod, scor_flat,
               "ya", "yb", "sdep"]
     flags = ["o2", "co2", "cpl", "xf1", "xf15", "valid"]
 
+    # index maps return explicit i32 numpy literals: Python ints would
+    # trace as i64 under jax_enable_x64 (Mosaic rejects i64) and jnp
+    # arrays would be captured consts (pallas rejects those)
+    z = np.int32(0)
     in_specs = [
-        pl.BlockSpec((1, w), lambda l, j: (0, 0)),   # wn_hi
-        pl.BlockSpec((1, w), lambda l, j: (0, 0)),   # wn_lo
-        pl.BlockSpec((1, nt), lambda l, j: (0, j)),  # nu_hi
-        pl.BlockSpec((1, nt), lambda l, j: (0, j)),  # nu_lo
+        pl.BlockSpec((1, w), lambda l, j: (z, z)),   # wn_hi
+        pl.BlockSpec((1, w), lambda l, j: (z, z)),   # wn_lo
+        pl.BlockSpec((1, nt), lambda l, j: (z, j)),  # nu_hi
+        pl.BlockSpec((1, nt), lambda l, j: (z, j)),  # nu_lo
     ]
     args = [jnp.asarray(wn_hi)[None, :], jnp.asarray(wn_lo)[None, :],
             pre["nu_hi"][None, :], pre["nu_lo"][None, :]]
@@ -219,18 +223,18 @@ def line_od_pallas(cat: dict, wn64: np.ndarray, p, t, wk, wbrod, scor_flat,
         v = pre[k]
         v = jnp.broadcast_to(v, (L, n)) if v.ndim == 1 else v
         args.append(v[:, None, :])           # [L, 1, N]
-        in_specs.append(pl.BlockSpec((1, 1, nt), lambda l, j: (l, 0, j)))
+        in_specs.append(pl.BlockSpec((1, 1, nt), lambda l, j: (l, z, j)))
     for k in flags:
         args.append(pre["flags"][k][None, :])
-        in_specs.append(pl.BlockSpec((1, nt), lambda l, j: (0, j)))
+        in_specs.append(pl.BlockSpec((1, nt), lambda l, j: (z, j)))
     args.append(onehot)
-    in_specs.append(pl.BlockSpec((nt, n_mol), lambda l, j: (j, 0)))
+    in_specs.append(pl.BlockSpec((nt, n_mol), lambda l, j: (j, z)))
 
     sf = pl.pallas_call(
         _kernel,
         grid=(L, n_lt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, w, n_mol), lambda l, j: (l, 0, 0)),
+        out_specs=pl.BlockSpec((1, w, n_mol), lambda l, j: (l, z, z)),
         out_shape=jax.ShapeDtypeStruct((L, w, n_mol), jnp.float32),
         interpret=interpret,
     )(*args)

@@ -195,7 +195,12 @@ def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4):
     # strong f64 constant under x64 and poison f32 Pallas kernels
     x1 = (1.0 / math.sqrt(2.0)) * jnp.sqrt(tmp + alfadelta) - sqrt_delta
     x2 = x1 + 2.0 * sqrt_delta
-    y1 = jnp.sign(beta) * jnp.sqrt((tmp - delta - alfa) / 2.0)
+    # (tmp - delta - alfa) is >= 0 in exact arithmetic (tmp = |alfa+delta|
+    # at beta=0); emulated-f64 rounding can leave a tiny negative residue at
+    # line centre, and sign(0)*sqrt(-eps) would poison the result with NaN
+    # (hazard latent in the reference too, modm.f90:1051) — clamp at 0
+    y1 = jnp.sign(beta) * jnp.sqrt(
+        jnp.maximum((tmp - delta - alfa) / 2.0, 0.0))
     y2 = y1
 
     # Humlicek-plane: the reference calls SD_Humlicek(y1,x1,...) so that

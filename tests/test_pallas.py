@@ -60,3 +60,27 @@ def test_pallas_jit_and_grad(setup):
 
     v = total(t)
     assert np.isfinite(float(v))
+
+
+def test_odmodel_pallas_integration(setup):
+    """ODModel(use_pallas=True) matches the XLA engine end-to-end,
+    including wn-grid padding and per-molecule attribution."""
+    from monortm_tpu.models.od import ODModel
+    from monortm_tpu.testing import synthetic_state
+
+    cat, dev, wn64, p, t, wk, wb, scor = setup
+    wn = np.linspace(0.4, 50.0, 96)      # not a multiple of wn_tile
+    kw = dict(dvset=0.05, catalog=cat, nmol=22, dtype=jnp.float32,
+              wn_tile=32, line_tile=128)
+    m_ref = ODModel(wn, **kw)
+    m_pl = ODModel(wn, use_pallas=True, **kw)
+    state = synthetic_state(nlay=4)
+    want = m_ref(state)
+    got = m_pl(state)
+    scale = float(jnp.abs(want.od_total).max())
+    np.testing.assert_allclose(np.asarray(got.od_total),
+                               np.asarray(want.od_total),
+                               rtol=2e-5, atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(got.od_by_mol),
+                               np.asarray(want.od_by_mol),
+                               rtol=2e-5, atol=2e-6 * scale)
