@@ -92,7 +92,10 @@ class OutputWriter:
 
         by_mol = np.zeros((len(ids), nwn))
         for k, im in enumerate(ids):
-            by_mol[k] = od_by_mol[:, im, :].sum(axis=-1)
+            # molecules beyond the profile's nmol (e.g. N2 implied by
+            # WBRODL) have no line OD slot — continuum only
+            if im < od_by_mol.shape[1]:
+                by_mol[k] = od_by_mol[:, im, :].sum(axis=-1)
             if im in cont_of:
                 by_mol[k] += oc[cont_of[im]].sum(axis=0)
 
@@ -150,7 +153,8 @@ def write_netcdf(path, npr, wn, res, state, meta, pwv, clw_col, tsfc,
 
     by_mol_layer = np.zeros((nwn, kount, nlay), np.float32)
     for k, im in enumerate(ids):
-        lay = od_by_mol[:, im, :]
+        lay = (od_by_mol[:, im, :] if im < od_by_mol.shape[1]
+               else np.zeros((nwn, nlay)))
         if im in cont_of:
             lay = lay + oc[cont_of[im]].T             # oc: [L, W]
         by_mol_layer[:, k, :] = lay

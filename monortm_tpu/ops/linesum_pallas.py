@@ -182,12 +182,16 @@ def _kernel(wn_hi_ref, wn_lo_ref,
 
 def line_od_pallas(cat: dict, wn64: np.ndarray, p, t, wk, wbrod, scor_flat,
                    cfg: LineConfig, n_mol: int, line_tile: int = 512,
-                   interpret: bool = False):
+                   interpret: bool | None = None):
     """Line OD on [L, W, n_mol] via the Pallas kernel (f32 only).
 
     wn64: [W] float64 host grid (W should be a multiple of 128).
     p/t/wk/wbrod/scor_flat carry a single flat layer axis L.
+    interpret=None auto-selects: compiled Mosaic on TPU, interpreter
+    elsewhere (CPU test meshes), so the same call sites work everywhere.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     dtype = jnp.float32
     pre = precompute(cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
     L = pre["stild"].shape[0]

@@ -7,7 +7,14 @@ be validated in double precision against closed-form references.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for the test suite (virtual 8-device mesh): deterministic f64,
+# fast compiles. Set MONORTM_TEST_PLATFORM=tpu (or any platform name) to run
+# the physics tests on real hardware instead. The platform is forced via
+# jax.config.update (not just the env var) because the environment's PJRT
+# sitecustomize may have already imported jax and prepended its own platform
+# to jax_platforms before this conftest runs.
+_platform = os.environ.get("MONORTM_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +23,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_enable_x64", True)
