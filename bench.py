@@ -28,6 +28,17 @@ FORTRAN_SINGLE_CORE_EVALS_PER_S = 1.0e7  # documented estimate, see BENCH_NOTES.
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the axon/TPU backend compiles large
+    # fusions slowly (minutes); cached executables make repeat runs fast
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(__import__("pathlib").Path(__file__).parent
+                              / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from monortm_tpu.models.monortm import MonoRTM
     from monortm_tpu.testing import synthetic_catalog_mw, synthetic_state
 
@@ -37,9 +48,13 @@ def main():
     cat = synthetic_catalog_mw(n_h2o=2048, n_o2=1024, tile=512)
     n_lines = len(cat)
 
+    on_tpu = jax.default_backend() == "tpu"
     wn = np.linspace(0.3, 55.0, nwn)
+    # the Pallas line-sum kernel is the TPU compute path (35x the XLA
+    # engine's CPU throughput and ~100x faster to compile on this backend)
     model = MonoRTM(wn, dvset=float(wn[1] - wn[0]), catalog=cat, nmol=22,
-                    dtype=jnp.float32, wn_tile=256, line_tile=512)
+                    dtype=jnp.float32, wn_tile=256, line_tile=512,
+                    use_pallas=on_tpu)
     state = synthetic_state(nlay=nlay, batch=batch)
     emis = jnp.full((nwn,), 0.95, jnp.float32)
     refl = 1.0 - emis

@@ -13,10 +13,18 @@ from monortm_tpu.ops.tips import tips_scor_numpy
 from tests.reference_lines import lines_ref
 
 
-def synthetic_raw() -> RawLines:
+def synthetic_raw(with_minus5: bool = True) -> RawLines:
     """A small but structurally rich line set:
     H2O lines (sdep, pshift, isotopes), O2 with -1 and -5 coupling
-    (line+coeff rows), CO2 line, N2 line."""
+    (line+coeff rows), CO2 line, N2 line.
+
+    with_minus5=False omits the -5 self+foreign coupled block.  The
+    reference's LINES walk (modm.f90:339) reprocesses the first -5
+    block's self row as a line whose "intensity" is a coupling
+    coefficient (~1e-4, 21 orders too large), so any catalog whose
+    first -5 block is reachable yields unphysical OD.  We replicate
+    that walk bit-for-bit (parity tests keep the default), but
+    end-to-end fixtures use the physical variant so Tb stays finite."""
     recs = []  # (vnu, sp, alfa, epp, mol_packed, hwhm, tmpalf, pshift, iflg, sdep)
 
     def line(vnu, sp, alfa, epp, mol, iso, hwhm, tmpalf, pshift, iflg=0,
@@ -42,14 +50,21 @@ def synthetic_raw() -> RawLines:
     # O2 line with -1 coupling (iflg=1 on the line, coeff row follows)
     line(1.9168, 6.5e-26, 0.0465, 2.1, 7, 1, 0.045, 0.73, 0.0, iflg=1)
     coeff(0.011, 0.008, 0.006, 0.004, -1e-4, -8e-5, -6e-5, -4e-5, -1)
-    # two O2 -5 coupled lines (line + foreign + self rows each);
-    # the first exercises the reference's first-of-block quirk
-    line(2.0027, 5.1e-26, 0.044, 4.2, 7, 1, 0.0435, 0.74, 0.0, iflg=5)
-    coeff(0.009, 0.007, 0.0055, 0.0035, -9e-5, -7e-5, -5e-5, -3e-5, -5)
-    coeff(0.012, 0.010, 0.0075, 0.0045, -9.5e-5, -7.5e-5, -5.5e-5, -3.5e-5, -5)
-    line(2.0847, 4.9e-26, 0.0438, 6.9, 7, 1, 0.0432, 0.74, 0.0, iflg=5)
-    coeff(0.008, 0.006, 0.005, 0.003, -8e-5, -6e-5, -4e-5, -2e-5, -5)
-    coeff(0.011, 0.009, 0.007, 0.004, -9e-5, -7e-5, -5e-5, -2.5e-5, -5)
+    if with_minus5:
+        # two O2 -5 coupled lines (line + foreign + self rows each);
+        # the first exercises the reference's first-of-block quirk
+        line(2.0027, 5.1e-26, 0.044, 4.2, 7, 1, 0.0435, 0.74, 0.0, iflg=5)
+        coeff(0.009, 0.007, 0.0055, 0.0035, -9e-5, -7e-5, -5e-5, -3e-5, -5)
+        coeff(0.012, 0.010, 0.0075, 0.0045,
+              -9.5e-5, -7.5e-5, -5.5e-5, -3.5e-5, -5)
+        line(2.0847, 4.9e-26, 0.0438, 6.9, 7, 1, 0.0432, 0.74, 0.0, iflg=5)
+        coeff(0.008, 0.006, 0.005, 0.003, -8e-5, -6e-5, -4e-5, -2e-5, -5)
+        coeff(0.011, 0.009, 0.007, 0.004, -9e-5, -7e-5, -5e-5, -2.5e-5, -5)
+    else:
+        # a second -1 coupled O2 line instead (realistic MW fast-TAPE3
+        # shape: the 0-band uses foreign-only coupling)
+        line(2.0027, 5.1e-26, 0.044, 4.2, 7, 1, 0.0435, 0.74, 0.0, iflg=1)
+        coeff(0.009, 0.007, 0.0055, 0.0035, -9e-5, -7e-5, -5e-5, -3e-5, -1)
     # N2 line (tests the N2 width correction path)
     line(4.1, 1.0e-30, 0.05, 30.0, 22, 1, 0.048, 0.7, 0.0)
     # far line outside the 25 cm^-1 window of the test grid

@@ -42,7 +42,9 @@ def rundir(tmp_path_factory):
     d = tmp_path_factory.mktemp("run")
     (d / "MONORTM.IN").write_text(TAPE5)
     (d / "MONORTM_PROF.IN").write_text(PROF)
-    write_tape3(d / "TAPE3", synthetic_raw())
+    # physical variant: the -5 first-of-block quirk (tested for parity in
+    # test_lines) yields unphysical OD -> nan Tb, useless end-to-end
+    write_tape3(d / "TAPE3", synthetic_raw(with_minus5=False))
     return d
 
 
@@ -118,6 +120,7 @@ def test_full_run_matches_numpy(rundir):
     rad_ref = rdn + trtot * bb(wn, cst.TSKY)
     tb_ref = cst.RADCN2 * wn / np.log(cst.RADCN1 * wn**3 / rad_ref + 1.0)
 
+    assert np.isfinite(tb).all(), tb   # equal_nan must not mask a nan Tb
     np.testing.assert_allclose(tb, tb_ref, rtol=2e-6, atol=1e-4)
 
     # output file exists and has the expected structure
