@@ -138,46 +138,67 @@ def _kernel(wn_hi_ref, wn_lo_ref,
     d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift          # [W, Nt]
     dsum = wn_hi + xnu
 
-    use_lor = (jnp.abs(d1) > 100.0 * ad) | (zlor > 0.5)
-
-    def K(dd):
-        dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape))
-        dl = xlorentz(dd / hw) / hw
-        return jnp.where(use_lor, dl, dv)
-
-    k1 = K(d1)
-    k2 = K(dsum)
-    k3 = jnp.where(use_lor, k3l, k3v)
-
-    y1 = 1.0 + ya * d1 + yb
-    y2 = 1.0 - ya * dsum + yb
-    y1p = 1.0 + ya * DELTNU_CUT + yb
-    y2p = 1.0 - ya * DELTNU_CUT + yb
-
     mirror = (dsum - DELTNU_CUT) <= 0.0
     within = jnp.abs(d1) <= DELTNU_CUT
-    ped = 2.0 - (d1 * d1) / (DELTNU_CUT * DELTNU_CUT)
-
-    sls_other = jnp.where(
-        has_cpl,
-        y1 * k1 - y1p * k3 + jnp.where(mirror, y2 * k2 - y2p * k3, 0.0),
-        k1 - k3 + jnp.where(mirror, k2 - k3, 0.0))
-    sls_o2 = jnp.where(
-        has_cpl,
-        jnp.where(xf1, k1 * y1 + k2 * y2, k1 + k2),
-        jnp.where(within, k1 + jnp.where(mirror, k2, 0.0), 0.0))
-    xp4 = k3 * ped
-    sls_co2 = jnp.where(
-        has_cpl,
-        jnp.where(xf15, k1 * y1 - xp4 - k3 * ((y1 - 1.0) * ped), k1 - xp4),
-        k1 - xp4)
-    sls = jnp.where(is_o2, sls_o2, jnp.where(is_co2, sls_co2, sls_other))
-
     keep = (within | is_o2) & valid
-    contrib = jnp.where(keep, sls, 0.0) * stild
 
-    out_ref[0, :, :] += jnp.dot(contrib, onehot_ref[...],
-                                preferred_element_type=jnp.float32)
+    # whole-block skip: nothing in this [W, Nt] block is inside the
+    # 25 cm^-1 window (and the tile has no O2 lines) — e.g. far line
+    # tiles on wide spectral grids
+    @pl.when(jnp.any(keep))
+    def _():
+        use_lor = (jnp.abs(d1) > 100.0 * ad) | (zlor > 0.5)
+        any_voigt = jnp.any(keep & ~use_lor)
+
+        def K(dd, dl):
+            # block-level skip of the SD-Voigt/Humlicek machinery when
+            # every surviving line uses the Lorentz limit (the common MW
+            # case: zeta > 0.99 at tropospheric pressures, zlor
+            # precomputed per layer x line); identical results — the
+            # gated branch evaluates all lanes exactly as before
+            def full():
+                dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape),
+                             gate=True)
+                return jnp.where(use_lor, dl, dv)
+
+            return jax.lax.cond(any_voigt, full, lambda: dl)
+
+        k1 = K(d1, xlorentz(d1 / hw) / hw)
+        # the wn+nu mirror term is only consumed where mirror holds
+        # (lines within 25 cm^-1 of 0) or for coupled O2 lines
+        # (modm.f90:649-704); skip its shape evaluations otherwise
+        k2 = jax.lax.cond(
+            jnp.any((mirror & keep) | (is_o2 & has_cpl & valid)),
+            lambda: K(dsum, xlorentz(dsum / hw) / hw),
+            lambda: jnp.zeros_like(d1))
+        k3 = jnp.where(use_lor, k3l, k3v)
+
+        y1 = 1.0 + ya * d1 + yb
+        y2 = 1.0 - ya * dsum + yb
+        y1p = 1.0 + ya * DELTNU_CUT + yb
+        y2p = 1.0 - ya * DELTNU_CUT + yb
+
+        ped = 2.0 - (d1 * d1) / (DELTNU_CUT * DELTNU_CUT)
+
+        sls_other = jnp.where(
+            has_cpl,
+            y1 * k1 - y1p * k3 + jnp.where(mirror, y2 * k2 - y2p * k3, 0.0),
+            k1 - k3 + jnp.where(mirror, k2 - k3, 0.0))
+        sls_o2 = jnp.where(
+            has_cpl,
+            jnp.where(xf1, k1 * y1 + k2 * y2, k1 + k2),
+            jnp.where(within, k1 + jnp.where(mirror, k2, 0.0), 0.0))
+        xp4 = k3 * ped
+        sls_co2 = jnp.where(
+            has_cpl,
+            jnp.where(xf15, k1 * y1 - xp4 - k3 * ((y1 - 1.0) * ped), k1 - xp4),
+            k1 - xp4)
+        sls = jnp.where(is_o2, sls_o2, jnp.where(is_co2, sls_co2, sls_other))
+
+        contrib = jnp.where(keep, sls, 0.0) * stild
+
+        out_ref[0, :, :] += jnp.dot(contrib, onehot_ref[...],
+                                    preferred_element_type=jnp.float32)
 
 
 def line_od_pallas(cat: dict, wn64: np.ndarray, p, t, wk, wbrod, scor_flat,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from monortm_tpu import constants as c
@@ -90,7 +91,29 @@ def _w_region4(tr, ti):
     return eu * jnp.cos(ui) - pr, eu * jnp.sin(ui) - pi
 
 
-def w4_real(x, y):
+def _region_real(mask, fn, tr, ti, guard_r, guard_i, gate):
+    """Re[fn(t)] where `mask`, guarded elsewhere.
+
+    gate=True wraps the evaluation in an any(mask)-predicated lax.cond so a
+    whole VPU block skips the region's polynomials (and, for region 4, its
+    exp/cos/sin) when no point lands in it — the far-wing common case.  The
+    branch computes over all lanes exactly as the ungated form does, so
+    results are bit-identical whenever the region is populated.
+    """
+    def comp():
+        return fn(jnp.where(mask, tr, guard_r), jnp.where(mask, ti, guard_i))[0]
+
+    if gate:
+        shape = jnp.broadcast_shapes(jnp.shape(mask), jnp.shape(tr),
+                                     jnp.shape(ti))
+        dtype = jnp.result_type(tr, ti)
+        return jax.lax.cond(jnp.any(mask),
+                            lambda: jnp.broadcast_to(comp(), shape),
+                            lambda: jnp.zeros(shape, dtype))
+    return comp()
+
+
+def w4_real(x, y, gate: bool = False):
     """Re[w(z)] for z = x + i y via Humlicek W4 (modm.f90:1100-1130).
 
     t = y - i x; regions split at s = |x|+y = 15 / 5.5 with the region-4
@@ -110,13 +133,13 @@ def w4_real(x, y):
     one = jnp.ones_like(tr)
     zero = jnp.zeros_like(tr)
     w = jnp.where(in1, _w_region1(jnp.where(in1, tr, one), jnp.where(in1, ti, zero))[0], 0.0)
-    w = jnp.where(in2, _w_region2(jnp.where(in2, tr, one), jnp.where(in2, ti, zero))[0], w)
-    w = jnp.where(in3, _w_region3(jnp.where(in3, tr, one), jnp.where(in3, ti, zero))[0], w)
-    w = jnp.where(in4, _w_region4(jnp.where(in4, tr, zero), jnp.where(in4, ti, zero))[0], w)
+    w = jnp.where(in2, _region_real(in2, _w_region2, tr, ti, one, zero, gate), w)
+    w = jnp.where(in3, _region_real(in3, _w_region3, tr, ti, one, zero, gate), w)
+    w = jnp.where(in4, _region_real(in4, _w_region4, tr, ti, zero, zero, gate), w)
     return w
 
 
-def voigt(deltnu, alphal, alphad):
+def voigt(deltnu, alphal, alphad, gate: bool = False):
     """Voigt profile value (modm.f90:900-962).
 
     K(deltnu) = Re[w(sqrt(ln2) dnu/aD + i sqrt(ln2) aL/aD)] * sqrt(ln2/pi)/aD
@@ -129,7 +152,7 @@ def voigt(deltnu, alphal, alphad):
     ad_safe = jnp.where(alphad > 0.0, alphad, 1.0)
     x = _SQRT_LN2 * deltnu / ad_safe
     y = _SQRT_LN2 * alphal / ad_safe
-    v = w4_real(x, y) * _RSQRT_PI_LN2 / ad_safe
+    v = w4_real(x, y, gate=gate) * _RSQRT_PI_LN2 / ad_safe
 
     lor = alphal / (c.PI * (alphal * alphal + deltnu * deltnu))
     return jnp.where(alphad > 0.0, v, lor)
@@ -151,7 +174,7 @@ def _sd_region_id(s, x_h, y_h):
     return r
 
 
-def _w_by_region_real(tr, ti, r, own_region4):
+def _w_by_region_real(tr, ti, r, own_region4, gate: bool = False):
     """Re[w] for combined region r; per-point region-4/3 fallback inside r=4
     (modm.f90:1217-1247)."""
     one = jnp.ones_like(tr)
@@ -160,13 +183,14 @@ def _w_by_region_real(tr, ti, r, own_region4):
     use3 = (r == 3) | ((r == 4) & ~own_region4)
     m1, m2 = r == 1, r == 2
     w = jnp.where(m1, _w_region1(jnp.where(m1, tr, one), jnp.where(m1, ti, zero))[0], 0.0)
-    w = jnp.where(m2, _w_region2(jnp.where(m2, tr, one), jnp.where(m2, ti, zero))[0], w)
-    w = jnp.where(use3, _w_region3(jnp.where(use3, tr, one), jnp.where(use3, ti, zero))[0], w)
-    w = jnp.where(use4, _w_region4(jnp.where(use4, tr, zero), jnp.where(use4, ti, zero))[0], w)
+    w = jnp.where(m2, _region_real(m2, _w_region2, tr, ti, one, zero, gate), w)
+    w = jnp.where(use3, _region_real(use3, _w_region3, tr, ti, one, zero, gate), w)
+    w = jnp.where(use4, _region_real(use4, _w_region4, tr, ti, zero, zero, gate), w)
     return w
 
 
-def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4):
+def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4,
+            gate: bool = False):
     """Speed-dependent Voigt (Boone et al. 2011 two-point difference).
 
     Falls back to the plain Voigt where |sdep| <= 1e-4 (modm.f90:1017-1081).
@@ -211,11 +235,22 @@ def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4):
     r2 = _sd_region_id(s2, y2, x2)
     r = jnp.maximum(r1, r2)
 
-    w1 = _w_by_region_real(x1, -y1, r, r1 == 4)
-    w2 = _w_by_region_real(x2, -y2, r, r2 == 4)
+    w1 = _w_by_region_real(x1, -y1, r, r1 == 4, gate=gate)
+    w2 = _w_by_region_real(x2, -y2, r, r2 == 4, gate=gate)
     v_sd = (w1 - w2) * _RSQRT_PI_LN2 / ad_safe
 
-    v_plain = voigt(deltnu, alphal, alphad)
+    if gate:
+        # skip the plain-Voigt fallback when every line in the block is
+        # speed-dependent; computed values are identical when any is not
+        shape = jnp.broadcast_shapes(jnp.shape(deltnu), jnp.shape(alphal),
+                                     jnp.shape(alphad))
+        v_plain = jax.lax.cond(
+            jnp.any(~use_sd),
+            lambda: jnp.broadcast_to(voigt(deltnu, alphal, alphad, gate=True),
+                                     shape),
+            lambda: jnp.zeros(shape, v_sd.dtype))
+    else:
+        v_plain = voigt(deltnu, alphal, alphad)
     return jnp.where(use_sd, v_sd, v_plain)
 
 
