@@ -48,13 +48,11 @@ def main():
     cat = synthetic_catalog_mw(n_h2o=2048, n_o2=1024, tile=512)
     n_lines = len(cat)
 
-    on_tpu = jax.default_backend() == "tpu"
     wn = np.linspace(0.3, 55.0, nwn)
-    # the Pallas line-sum kernel is the TPU compute path (35x the XLA
-    # engine's CPU throughput and ~100x faster to compile on this backend)
+    # the Pallas line-sum kernel is the TPU compute path (use_pallas=None
+    # auto-selects it on TPU backends; ops/linesum_pallas.py)
     model = MonoRTM(wn, dvset=float(wn[1] - wn[0]), catalog=cat, nmol=22,
-                    dtype=jnp.float32, wn_tile=256, line_tile=512,
-                    use_pallas=on_tpu)
+                    dtype=jnp.float32, wn_tile=256, line_tile=512)
     state = synthetic_state(nlay=nlay, batch=batch)
     emis = jnp.full((nwn,), 0.95, jnp.float32)
     refl = 1.0 - emis

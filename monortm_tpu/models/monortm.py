@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +25,7 @@ from monortm_tpu.ops.lineshape import LineConfig
 from monortm_tpu.types import LayerState
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ForwardResult:
     rt: RTResult
@@ -41,14 +43,17 @@ class MonoRTM:
                  line_cfg: LineConfig = LineConfig(),
                  dtype=jnp.float32,
                  wn_tile: int = 128, line_tile: int = 4096,
-                 use_pallas: bool = False):
+                 use_pallas: bool | None = None,
+                 pallas_wn_tile: int = 128, pallas_line_tile: int = 256):
         self.wn = np.asarray(wn, np.float64)
         self.dtype = dtype
         self.od_model = ODModel(wn, dvset, catalog, nmol=nmol,
                                 factors=factors, line_cfg=line_cfg,
                                 dtype=dtype, wn_tile=wn_tile,
                                 line_tile=line_tile,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas,
+                                pallas_wn_tile=pallas_wn_tile,
+                                pallas_line_tile=pallas_line_tile)
 
     def forward(self, state: LayerState, tsfc, emis, refl, irt: int,
                 od_xsec=None) -> ForwardResult:

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from monortm_tpu import constants as cst
 from monortm_tpu.lines import PackedCatalog
 from monortm_tpu.ops.cloud import od_clw
 from monortm_tpu.ops.continuum import ContinuumPlan, ContinuumFactors, SPECIES
@@ -31,6 +32,7 @@ from monortm_tpu.types import LayerState
 _CONT_MOL = {"h2o": 0, "co2": 1, "o3": 2, "o2": 6, "n2": 21}
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ODResult:
     od_total: Any       # [..., W, L]   total layer OD (wn-major like O(M,K))
@@ -47,7 +49,8 @@ class ODModel:
                  line_cfg: LineConfig = LineConfig(),
                  dtype=jnp.float32,
                  wn_tile: int = 128, line_tile: int = 4096,
-                 use_pallas: bool = False):
+                 use_pallas: bool | None = None,
+                 pallas_wn_tile: int = 128, pallas_line_tile: int = 256):
         self.wn64 = np.asarray(wn, np.float64)
         self.nwn = len(self.wn64)
         self.nmol = int(nmol)
@@ -57,7 +60,10 @@ class ODModel:
                                   nmol=nmol)
         self.catalog = catalog
         self.dev_cat = catalog_to_device(catalog, dtype)
-        # Pallas line-sum fast path (f32 only; ops/linesum_pallas.py)
+        # Pallas line-sum fast path (f32 only; ops/linesum_pallas.py).
+        # None = auto: use it whenever the default backend is a TPU.
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas) and dtype == jnp.float32
 
         # wavenumber tiling (pad with sentinel far from any physical line)
@@ -67,8 +73,17 @@ class ODModel:
         wn_pad[:self.nwn] = self.wn64
         self.wn_tiles = wn_pad.reshape(-1, self.wn_tile)
         self.n_wtiles = self.wn_tiles.shape[0]
+        # two-float split prepared on host (device f64 is unavailable
+        # without x64; the split is exact in f64 numpy)
+        self.wn_tiles_hi = self.wn_tiles.astype(np.float32)
+        self.wn_tiles_lo = (self.wn_tiles
+                            - self.wn_tiles_hi.astype(np.float64)
+                            ).astype(np.float32)
 
         self._build_line_tiles(catalog, line_tile)
+        if self.use_pallas:
+            self._build_pallas_plan(catalog, nt=pallas_line_tile,
+                                    wt=pallas_wn_tile)
 
     def _build_line_tiles(self, catalog: PackedCatalog, line_tile: int):
         """Split the catalog into (a) O2 tiles — processed for every
@@ -134,65 +149,150 @@ class ODModel:
             self.n_cand = 0
 
     # ------------------------------------------------------------------
-    def _pallas_ltile(self) -> int:
-        """Line-tile size for the Pallas kernel: the lane (last) block dim
-        must be a multiple of 128 or span the whole array."""
-        n = int(self.dev_cat["mol"].shape[0])
-        if n <= 512:
-            return n
-        for d in (512, 384, 256, 128):
-            if n % d == 0:
-                return d
-        return n
+    def _build_pallas_plan(self, catalog: PackedCatalog, nt: int, wt: int):
+        """Block-sparse plan for the Pallas kernel (ops/linesum_pallas.py).
+
+        Lines are re-ordered into nu-sorted windowed tiles of `nt` followed
+        by O2 tiles (O2 is exempt from the 25 cm^-1 cut, modm.f90:384);
+        each wavenumber tile of `wt` gets a static candidate list of the
+        windowed tiles overlapping its +-25 cm^-1 reach plus every O2
+        tile.  Padding slots map to tile 0 with valid=0 and are skipped
+        in-kernel, so pruning is purely an optimisation.
+        """
+        # lane-dim blocks must be 128-divisible (pallas_guide: tiling)
+        nt = max(128, (nt // 128) * 128)
+        wt = max(128, (wt // 128) * 128)
+        valid = np.asarray(catalog.valid)
+        is_o2 = (np.asarray(catalog.mol) == 7) & valid
+        idx_o2 = np.nonzero(is_o2)[0]
+        idx_win = np.nonzero(~is_o2 & valid)[0]
+        nu0 = np.asarray(catalog.nu0)
+        idx_win = idx_win[np.argsort(nu0[idx_win], kind="stable")]
+
+        def tiles_from(idx):
+            k = max(1, -(-len(idx) // nt))
+            rows = np.zeros(k * nt, np.int64)
+            rows[:len(idx)] = idx
+            mask = np.zeros(k * nt, bool)
+            mask[:len(idx)] = True
+            return rows.reshape(k, nt), mask.reshape(k, nt)
+
+        win_rows, win_mask = tiles_from(idx_win)
+        k_win = win_rows.shape[0] if len(idx_win) else 0
+        parts = [(win_rows, win_mask)] if k_win else []
+        k_o2 = 0
+        if len(idx_o2):
+            o2_rows, o2_mask = tiles_from(idx_o2)
+            k_o2 = o2_rows.shape[0]
+            parts.append((o2_rows, o2_mask))
+        if not parts:                       # empty catalog: one dead tile
+            parts = [tiles_from(np.zeros(0, np.int64))]
+            k_win = 1
+        rows = np.concatenate([p[0] for p in parts]).reshape(-1)
+        mask = np.concatenate([p[1] for p in parts]).reshape(-1)
+
+        self.pallas_cat = {k: jnp.asarray(np.asarray(v)[rows])
+                           for k, v in self.dev_cat.items()}
+        self.pallas_cat["valid"] = jnp.asarray(
+            np.asarray(self.catalog.valid)[rows] & mask)
+        self.pallas_nt = nt
+        self.pallas_wt = wt
+
+        # padded wavenumber grid + host two-float split
+        wp = max(wt, -(-self.nwn // wt) * wt)
+        wn_pad = np.full(wp, 1.0e6, np.float64)
+        wn_pad[:self.nwn] = self.wn64
+        self.pallas_wn_hi = wn_pad.astype(np.float32)
+        self.pallas_wn_lo = (wn_pad - self.pallas_wn_hi.astype(np.float64)
+                             ).astype(np.float32)
+        n_wt = wp // wt
+
+        # candidate tiles per wavenumber tile: windowed tiles whose nu
+        # range (pressure-shift margin included) reaches within 25 cm^-1,
+        # plus every O2 tile
+        margin = 25.0
+        if len(catalog.pshift):
+            margin += 2.0 * float(np.max(np.abs(catalog.pshift)))
+        cands = []
+        if k_win and len(idx_win):
+            nu_t = np.where(win_mask, nu0[win_rows], np.nan)
+            lo = np.nanmin(nu_t, axis=1) - margin
+            hi = np.nanmax(nu_t, axis=1) + margin
+        for i in range(n_wt):
+            w = wn_pad[i * wt:(i + 1) * wt]
+            w = w[w < 9.0e5]
+            sel = []
+            if k_win and len(idx_win) and len(w):
+                wmin, wmax = w.min(), w.max()
+                sel = list(np.nonzero((lo <= wmax) & (hi >= wmin))[0])
+            sel += list(range(k_win, k_win + k_o2))    # O2 tiles always
+            cands.append(sel)
+        n_cand = max(max((len(c) for c in cands), default=0), 1)
+        cmap = np.zeros((n_wt, n_cand), np.int32)
+        cvalid = np.zeros((n_wt, n_cand), np.int32)
+        for i, c in enumerate(cands):
+            cmap[i, :len(c)] = c
+            cvalid[i, :len(c)] = 1
+        self.pallas_cand_map = cmap
+        self.pallas_cand_valid = cvalid
 
     def line_od_pallas(self, state: LayerState, scor_flat):
         """Line OD via the Pallas kernel: [..., L, W, M].
 
         Leading batch axes are flattened into the kernel's layer grid
-        dimension; the full (unpruned) catalog is swept per layer —
-        the in-kernel 25 cm^-1 window mask preserves exact semantics
-        and the [wn, line-tile] blocks keep the MXU busy, so skipping
-        the host-side candidate pruning costs little at MW line counts.
+        dimension; per-wavenumber-tile candidate pruning (the static
+        block-sparse plan above) keeps the sweep sub-linear in far lines
+        while the in-kernel 25 cm^-1 mask preserves exact semantics.
         """
         from monortm_tpu.ops.linesum_pallas import line_od_pallas
 
         p = jnp.asarray(state.p, self.dtype)
         lead = p.shape                       # [..., L]
-        nwn_pad = self.n_wtiles * self.wn_tile
-        wn_pad = self.wn_tiles.reshape(-1)   # padded f64 grid, sentinels 1e6
 
         flat = lambda a, trail: jnp.asarray(a, self.dtype).reshape(
             (-1,) + trail)
-        od = line_od_pallas(
-            self.dev_cat, wn_pad,
+        sf = line_od_pallas(
+            self.pallas_cat, self.pallas_wn_hi, self.pallas_wn_lo,
+            self.pallas_cand_map, self.pallas_cand_valid,
+            self.pallas_nt, self.pallas_wt,
             flat(state.p, ()), flat(state.t, ()),
             flat(state.wkl, (state.wkl.shape[-1],)),
             flat(state.wbrodl, ()),
             scor_flat.reshape(-1, scor_flat.shape[-1]),
-            self.line_cfg, self.nmol, line_tile=self._pallas_ltile())
-        od = od.reshape(lead + (nwn_pad, self.nmol))
-        return od[..., :self.nwn, :]
+            self.line_cfg, self.nmol)
+        sf = sf.reshape(lead + sf.shape[1:])[..., :self.nwn, :]
+
+        # od = RFT * W_species * SF (modm.f90:436-438)
+        t_ = jnp.asarray(state.t, self.dtype)
+        wn_d = jnp.asarray(self.pallas_wn_hi[:self.nwn], self.dtype)
+        rft = wn_d * jnp.tanh(cst.RADCT * wn_d / (2.0 * t_[..., None]))
+        wk_m = jnp.asarray(state.wkl, self.dtype)[..., :self.nmol]
+        return rft[..., :, None] * wk_m[..., None, :] * sf
 
     def line_od(self, state: LayerState, scor_flat):
         """Per-molecule line OD [..., W, M, L] over the full grid."""
         dtype = self.dtype
-        wn_t = jnp.asarray(self.wn_tiles, dtype if dtype == jnp.float64
-                           else jnp.float64)
+        if dtype == jnp.float64:
+            wn_args = (jnp.asarray(self.wn_tiles, dtype),)
+        else:
+            # hi/lo split prepared on host (f64 numpy) — requesting f64 on
+            # device would silently truncate without x64 enabled
+            wn_args = (jnp.asarray(self.wn_tiles_hi, dtype),
+                       jnp.asarray(self.wn_tiles_lo, dtype))
 
         p, t = jnp.asarray(state.p, dtype), jnp.asarray(state.t, dtype)
         wk = jnp.asarray(state.wkl, dtype)
         wb = jnp.asarray(state.wbrodl, dtype)
 
         def one_wtile(args):
-            wn_chunk64, cand_idx, cand_mask = args
+            *wn_chunks, cand_idx, cand_mask = args
             if dtype == jnp.float64:
-                wn_c = wn_chunk64
+                wn_c = wn_chunks[0]
                 split = None
             else:
-                wn_hi = wn_chunk64.astype(jnp.float32)
-                wn_lo = (wn_chunk64 - wn_hi.astype(jnp.float64)).astype(jnp.float32)
-                wn_c = wn_hi.astype(dtype)
-                split = (wn_hi.astype(dtype), wn_lo.astype(dtype))
+                wn_hi, wn_lo = wn_chunks
+                wn_c = wn_hi
+                split = (wn_hi, wn_lo)
 
             init = jnp.zeros(t.shape + (self.wn_tile, self.nmol), dtype)
             acc = init
@@ -221,11 +321,10 @@ class ODModel:
 
         # [n_wtiles, ..., wn_tile, M]
         if self.n_cand:
-            cargs = (wn_t, self.cand_idx, self.cand_mask)
+            cargs = wn_args + (self.cand_idx, self.cand_mask)
         else:
-            cargs = (wn_t,
-                     jnp.zeros((self.n_wtiles, 0), jnp.int32),
-                     jnp.zeros((self.n_wtiles, 0), bool))
+            cargs = wn_args + (jnp.zeros((self.n_wtiles, 0), jnp.int32),
+                               jnp.zeros((self.n_wtiles, 0), bool))
         tiles = jax.lax.map(one_wtile, cargs)
         # -> [..., n_wtiles*wn_tile, M] -> crop padding
         perm = tuple(range(1, tiles.ndim - 2)) + (0, tiles.ndim - 2,

@@ -120,18 +120,19 @@ def _coupling_coeffs(cat, t, rhorat, rho_mol, cfg: LineConfig):
     return aip, bip
 
 
-def line_od_block(cat: dict, wn, wn_split, p, t, wk, wbrod, scor_flat,
-                  cfg: LineConfig, n_mol: int, dtype=jnp.float32):
-    """Per-molecule line optical depth for one block.
+def line_params(cat: dict, p, t, wk, wbrod, scor_flat, cfg: LineConfig,
+                dtype=jnp.float32) -> dict:
+    """All O(layer x line) quantities of the LINES prologue.
 
-    cat:   device catalog (N lines)
-    wn:    [W] wavenumbers (dtype)
-    wn_split: (wn_hi, wn_lo) two-float split, or None in f64 mode
-    p,t:   [...] layer pressure (hPa) / temperature (K)
-    wk:    [..., 39] molecular columns; wbrod: [...]
-    scor_flat: [..., 351] TIPS ratios flattened (39*9)
-    returns od_by_mol [..., W, n_mol]  (includes the RFT radiation term and
-    column amounts; modm.f90:436-438)
+    INITI + LINES preamble + INTENS + HALFWHM_C/_D (modm.f90:301-314,
+    375-380, 833-865, 442-454) including line coupling (AIP/BIP) and the
+    IBRD=1 species-specific-broadening adjustments — shared by the XLA
+    engine (`line_od_block`) and the Pallas fast path's `precompute`, so
+    the two paths cannot drift.
+
+    p,t: [...] layer pressure (hPa) / temperature (K); wk: [..., 39];
+    wbrod: [...]; scor_flat: [..., 351].  Returns a dict of [..., N]
+    arrays plus the per-layer scalars (rhorat, rp, rp2, wtot).
     """
     t_ = jnp.asarray(t, dtype)
     p_ = jnp.asarray(p, dtype)
@@ -165,14 +166,8 @@ def line_od_block(cat: dict, wn, wn_split, p, t, wk, wbrod, scor_flat,
         shift = shift + brd_on[..., 0] * dshift
     if dtype == jnp.float64:
         xnu = cat["nu0"] + shift
-        d1 = wn[..., :, None] - xnu[..., None, :]             # [..., W, N]
     else:
-        wn_hi, wn_lo = wn_split
         xnu = cat["nu0_hi"].astype(dtype) + (cat["nu0_lo"].astype(dtype) + shift)
-        d0 = ((wn_hi[..., :, None] - cat["nu0_hi"][..., None, :])
-              + (wn_lo[..., :, None] - cat["nu0_lo"][..., None, :]))
-        d1 = d0 - shift[..., None, :]
-    dsum = wn[..., :, None] + xnu[..., None, :]               # wn + nu
 
     # intensity (INTENS, modm.f90:860-865)
     scor_line = scor_flat[..., cat["iso_flat"]]               # [..., N]
@@ -209,6 +204,43 @@ def line_od_block(cat: dict, wn, wn_split, p, t, wk, wbrod, scor_flat,
     # Doppler halfwidth (HALFWHM_D, modm.f90:442-454)
     hwhm_d = (xnu / cst.CLIGHT) * jnp.sqrt(
         2.0 * cst.LN2 * cst.BOLTZ * t_[..., None] * cst.AVOGAD / cat["mass"])
+
+    return {"shift": shift, "xnu": xnu, "stild": stild, "hwhm_c": hwhm_c,
+            "hwhm_d": hwhm_d, "aip": aip, "bip": bip,
+            "rhorat": rhorat, "rp": rp, "rp2": rp2, "wtot": wtot}
+
+
+def line_od_block(cat: dict, wn, wn_split, p, t, wk, wbrod, scor_flat,
+                  cfg: LineConfig, n_mol: int, dtype=jnp.float32):
+    """Per-molecule line optical depth for one block.
+
+    cat:   device catalog (N lines)
+    wn:    [W] wavenumbers (dtype)
+    wn_split: (wn_hi, wn_lo) two-float split, or None in f64 mode
+    p,t:   [...] layer pressure (hPa) / temperature (K)
+    wk:    [..., 39] molecular columns; wbrod: [...]
+    scor_flat: [..., 351] TIPS ratios flattened (39*9)
+    returns od_by_mol [..., W, n_mol]  (includes the RFT radiation term and
+    column amounts; modm.f90:436-438)
+    """
+    t_ = jnp.asarray(t, dtype)
+    wk = jnp.asarray(wk, dtype)
+
+    lp = line_params(cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
+    shift, xnu, stild = lp["shift"], lp["xnu"], lp["stild"]
+    hwhm_c, hwhm_d = lp["hwhm_c"], lp["hwhm_d"]
+    aip, bip = lp["aip"], lp["bip"]
+    rp, rp2 = lp["rp"], lp["rp2"]
+    mol = cat["mol"]
+
+    if dtype == jnp.float64:
+        d1 = wn[..., :, None] - xnu[..., None, :]             # [..., W, N]
+    else:
+        wn_hi, wn_lo = wn_split
+        d0 = ((wn_hi[..., :, None] - cat["nu0_hi"][..., None, :])
+              + (wn_lo[..., :, None] - cat["nu0_lo"][..., None, :]))
+        d1 = d0 - shift[..., None, :]
+    dsum = wn[..., :, None] + xnu[..., None, :]               # wn + nu
 
     # line-shape selection (modm.f90:419-431)
     zeta = hwhm_c / (hwhm_c + hwhm_d)

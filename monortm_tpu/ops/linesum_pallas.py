@@ -1,17 +1,26 @@
 """Pallas TPU kernel for the line-sum hot loop.
 
 The O(layers x wavenumbers x lines) part of the line-by-line sum runs as a
-Pallas kernel: per (layer, line-tile) grid step, a [wn_tile, line_tile]
-block of shape-function evaluations is computed entirely in VMEM and
-contracted against the line->molecule one-hot on the MXU, accumulating
-[wn_tile, n_mol] partial sums across line tiles without any HBM round
-trips.  Everything that is O(layers x lines) — intensities, halfwidths,
-coupling Y/G slopes, the wavenumber-independent 25 cm^-1 pedestal — is
-precomputed with plain XLA and streamed in as [L, N] operands.
+Pallas kernel over a (layer, wn-tile, candidate-line-tile) grid: each grid
+step computes a [wn_tile, line_tile] block of shape-function evaluations
+entirely in VMEM and contracts it against the line->molecule one-hot on
+the MXU, accumulating [wn_tile, n_mol] partial sums across candidate tiles
+without HBM round trips.  Everything that is O(layers x lines) —
+intensities, halfwidths, coupling Y/G slopes, the wavenumber-independent
+25 cm^-1 pedestal — is precomputed with plain XLA (via the shared
+`ops.lineshape.line_params` prologue, so IBRD=1 and every other knob
+behaves identically to the XLA engine) and streamed in as [L, N] operands.
 
-The kernel reuses the branchless SD-Voigt/Humlicek formulations from
-ops.voigt verbatim; results match ops.lineshape.line_od_block to f32
-round-off (see tests/test_pallas.py).
+The 25 cm^-1 window cut (modm.f90:301,384) becomes *block sparsity*: line
+tiles are nu-sorted on the host and each wavenumber tile gets a static
+candidate list of overlapping tiles (plus every O2 tile — O2 is exempt
+from the cut).  The candidate map rides in as a scalar-prefetch operand
+(PrefetchScalarGridSpec) and drives the BlockSpec index maps, exactly the
+block-sparse-attention pattern — so a 250k-line catalog on a microwave
+grid only ever touches the tiles within 25 cm^-1 of each wn tile.
+
+Results match ops.lineshape.line_od_block to f32 round-off
+(tests/test_pallas.py).  Replaces the LINES triple loop, modm.f90:253-431.
 """
 
 from __future__ import annotations
@@ -26,60 +35,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from monortm_tpu import constants as cst
 from monortm_tpu.ops.lineshape import (DELTNU_CUT, LineConfig, MOL_CO2,
-                                       MOL_O2, _coupling_coeffs)
-from monortm_tpu.ops.voigt import sdvoigt, voigt, xlorentz
+                                       MOL_O2, line_params)
+from monortm_tpu.ops.voigt import sdvoigt, xlorentz
+
+# streamed per-(layer, line) operands, in kernel argument order
+PER_LN = ("shift", "stild", "hw", "ad", "k3v", "ya", "yb")
+# streamed per-line operands ([1, N])
+PER_L = ("nu_hi", "nu_lo", "sdep")
+FLAGS = ("o2", "co2", "cpl", "xf1", "xf15", "valid")
 
 
 def precompute(cat: dict, p, t, wk, wbrod, scor_flat, cfg: LineConfig,
                dtype=jnp.float32):
-    """All O(L x N) line parameters (mirrors line_od_block's prologue)."""
-    t_ = jnp.asarray(t, dtype)
-    p_ = jnp.asarray(p, dtype)
-    wk = jnp.asarray(wk, dtype)
-    wbrod_ = jnp.asarray(wbrod, dtype)
+    """All O(L x N) line parameters, via the shared LINES prologue."""
+    lp = line_params(cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
+    hw, ad = lp["hwhm_c"], lp["hwhm_d"]
+    rp, rp2 = lp["rp"], lp["rp2"]
 
-    xn0 = (1013.25 / (cst.BOLTZ * cst.T0)) * 1.0e3
-    xn = (p_ / (cst.BOLTZ * t_)) * 1.0e3
-    rhorat = xn / xn0
-    wtot = jnp.sum(wk, axis=-1) + wbrod_
-    rp = p_ / 1013.25
-    rp2 = rp * rp
-    rt = t_ / cst.T0
-
-    mol = cat["mol"]
-    w_line = wk[..., mol - 1]
-    rho_mol = rhorat[..., None] * w_line / wtot[..., None]
-    aip, bip = _coupling_coeffs(cat, t_, rhorat, rho_mol, cfg)
-
-    shift = cat["pshift"] * rhorat[..., None]
-    xnu = cat["nu0_hi"].astype(dtype) + (cat["nu0_lo"].astype(dtype) + shift)
-
-    scor_line = scor_flat[..., cat["iso_flat"]]
-    s = cat["s0adj"] * jnp.exp(-cst.RADCT * cat["e"]
-                               * (1.0 / t_[..., None] - 1.0 / cst.T0)) * scor_line
-    stild = s * (1.0 + jnp.exp(-cst.RADCT * xnu / t_[..., None])) / (
-        xnu * (-jnp.expm1(-cst.RADCT * xnu / cst.T0)))
-
-    rtx = rt[..., None] ** cat["tdep"]
-    alfa0 = cat["alpf"] * rtx
-    hwhms = cat["alps"] * rtx
-    hw = alfa0 * (rhorat[..., None] - rho_mol) + hwhms * rho_mol
-    hw = jnp.where(cat["xg"] == -3,
-                   hw * (1.0 - aip * rp[..., None] - bip * rp2[..., None]),
-                   hw)
-    ad = (xnu / cst.CLIGHT) * jnp.sqrt(
-        2.0 * cst.LN2 * cst.BOLTZ * t_[..., None] * cst.AVOGAD / cat["mass"])
-
-    zeta_lor = (hw / (hw + ad)) > 0.99
+    # pedestal value at 25 cm^-1 for the SD-Voigt branch; the Lorentz
+    # branch's k3 is recomputed in-kernel from hw (3 VPU ops)
     sdep_b = jnp.broadcast_to(cat["sdep"], hw.shape)
     k3v = sdvoigt(jnp.asarray(DELTNU_CUT, dtype), hw, ad, sdep_b)
-    k3l = xlorentz(jnp.asarray(DELTNU_CUT, dtype) / hw) / hw
 
     # line-coupling Y factors: y1 = 1 + ya*d1 + yb, y2 = 1 - ya*dsum + yb
-    ya = aip * rp[..., None] / hw
-    yb = bip * rp2[..., None]
+    ya = lp["aip"] * rp[..., None] / hw
+    yb = lp["bip"] * rp2[..., None]
 
     xg = cat["xg"]
+    mol = cat["mol"]
     f32 = lambda m: m.astype(dtype)
     flags = {
         "o2": f32(mol == MOL_O2),
@@ -90,96 +73,106 @@ def precompute(cat: dict, p, t, wk, wbrod, scor_flat, cfg: LineConfig,
         "valid": f32(cat["valid"]),
     }
     return {
-        "shift": shift, "xnu": xnu, "stild": stild, "hw": hw, "ad": ad,
-        "zlor": zeta_lor.astype(dtype), "k3v": k3v, "k3l": k3l,
-        "ya": ya, "yb": yb, "sdep": sdep_b,
+        "shift": lp["shift"], "stild": lp["stild"], "hw": hw, "ad": ad,
+        "k3v": k3v, "ya": ya, "yb": yb,
+        "sdep": cat["sdep"].astype(dtype),
         "nu_hi": cat["nu0_hi"].astype(dtype),
         "nu_lo": cat["nu0_lo"].astype(dtype),
-        "flags": flags, "rhorat": rhorat, "wtot": wtot,
+        "flags": flags,
     }
 
 
-def _kernel(wn_hi_ref, wn_lo_ref,
-            nu_hi_ref, nu_lo_ref, shift_ref, xnu_ref, stild_ref, hw_ref,
-            ad_ref, zlor_ref, k3v_ref, k3l_ref, ya_ref, yb_ref, sdep_ref,
+def _kernel(cmap_ref, cvalid_ref,
+            wn_hi_ref, wn_lo_ref,
+            nu_hi_ref, nu_lo_ref, sdep_ref,
+            shift_ref, stild_ref, hw_ref, ad_ref, k3v_ref, ya_ref, yb_ref,
             fo2_ref, fco2_ref, fcpl_ref, fxf1_ref, fxf15_ref, fval_ref,
-            onehot_ref, out_ref):
-    j = pl.program_id(1)
+            onehot_ref, out_ref, *, gate: bool):
+    i = pl.program_id(1)       # wavenumber tile
+    j = pl.program_id(2)       # candidate slot
 
     @pl.when(j == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    wn_hi = wn_hi_ref[0, :][:, None]       # [W, 1]
-    wn_lo = wn_lo_ref[0, :][:, None]
-    nu_hi = nu_hi_ref[0, :][None, :]       # [1, Nt]
-    nu_lo = nu_lo_ref[0, :][None, :]
-    # per-(layer, line) operands arrive as [L, 1, N] blocks of (1, 1, Nt)
-    # so that the blocked trailing dims (1, Nt) match the array dims --
-    # the Mosaic lowering requires (8,128)-divisible or full-dim blocks.
-    shift = shift_ref[0, 0, :][None, :]
-    xnu = xnu_ref[0, 0, :][None, :]
-    stild = stild_ref[0, 0, :][None, :]
-    hw = hw_ref[0, 0, :][None, :]
-    ad = ad_ref[0, 0, :][None, :]
-    zlor = zlor_ref[0, 0, :][None, :]
-    k3v = k3v_ref[0, 0, :][None, :]
-    k3l = k3l_ref[0, 0, :][None, :]
-    ya = ya_ref[0, 0, :][None, :]
-    yb = yb_ref[0, 0, :][None, :]
-    sdep = sdep_ref[0, 0, :][None, :]
-    is_o2 = fo2_ref[0, :][None, :] > 0.5
-    is_co2 = fco2_ref[0, :][None, :] > 0.5
-    has_cpl = fcpl_ref[0, :][None, :] > 0.5
-    xf1 = fxf1_ref[0, :][None, :] > 0.5
-    xf15 = fxf15_ref[0, :][None, :] > 0.5
-    valid = fval_ref[0, :][None, :] > 0.5
+    @pl.when(cvalid_ref[i, j] > 0)
+    def _compute():
+        wn_hi = wn_hi_ref[0, :][:, None]       # [W, 1]
+        wn_lo = wn_lo_ref[0, :][:, None]
+        nu_hi = nu_hi_ref[0, :][None, :]       # [1, Nt]
+        nu_lo = nu_lo_ref[0, :][None, :]
+        sdep = sdep_ref[0, :][None, :]
+        # per-(layer, line) operands arrive as [L, 1, N] blocks of (1, 1, Nt)
+        # so that the blocked trailing dims (1, Nt) match the array dims --
+        # the Mosaic lowering requires (8,128)-divisible or full-dim blocks.
+        shift = shift_ref[0, 0, :][None, :]
+        stild = stild_ref[0, 0, :][None, :]
+        hw = hw_ref[0, 0, :][None, :]
+        ad = ad_ref[0, 0, :][None, :]
+        k3v = k3v_ref[0, 0, :][None, :]
+        ya = ya_ref[0, 0, :][None, :]
+        yb = yb_ref[0, 0, :][None, :]
+        is_o2 = fo2_ref[0, :][None, :] > 0.5
+        is_co2 = fco2_ref[0, :][None, :] > 0.5
+        has_cpl = fcpl_ref[0, :][None, :] > 0.5
+        xf1 = fxf1_ref[0, :][None, :] > 0.5
+        xf15 = fxf15_ref[0, :][None, :] > 0.5
+        valid = fval_ref[0, :][None, :] > 0.5
 
-    d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift          # [W, Nt]
-    dsum = wn_hi + xnu
+        xnu = nu_hi + (nu_lo + shift)
+        d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift          # [W, Nt]
+        dsum = wn_hi + xnu
 
-    mirror = (dsum - DELTNU_CUT) <= 0.0
-    within = jnp.abs(d1) <= DELTNU_CUT
-    keep = (within | is_o2) & valid
+        mirror = (dsum - DELTNU_CUT) <= 0.0
+        within = jnp.abs(d1) <= DELTNU_CUT
+        keep = (within | is_o2) & valid
 
-    # whole-block skip: nothing in this [W, Nt] block is inside the
-    # 25 cm^-1 window (and the tile has no O2 lines) — e.g. far line
-    # tiles on wide spectral grids
-    @pl.when(jnp.any(keep))
-    def _():
-        use_lor = (jnp.abs(d1) > 100.0 * ad) | (zlor > 0.5)
-        any_voigt = jnp.any(keep & ~use_lor)
-
-        def K(dd, dl):
-            # block-level skip of the SD-Voigt/Humlicek machinery when
-            # every surviving line uses the Lorentz limit (the common MW
-            # case: zeta > 0.99 at tropospheric pressures, zlor
-            # precomputed per layer x line); identical results — the
-            # gated branch evaluates all lanes exactly as before
-            def full():
-                dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape),
-                             gate=True)
-                return jnp.where(use_lor, dl, dv)
-
-            return jax.lax.cond(any_voigt, full, lambda: dl)
-
-        k1 = K(d1, xlorentz(d1 / hw) / hw)
-        # the wn+nu mirror term is only consumed where mirror holds
-        # (lines within 25 cm^-1 of 0) or for coupled O2 lines
-        # (modm.f90:649-704); skip its shape evaluations otherwise
-        k2 = jax.lax.cond(
-            jnp.any((mirror & keep) | (is_o2 & has_cpl & valid)),
-            lambda: K(dsum, xlorentz(dsum / hw) / hw),
-            lambda: jnp.zeros_like(d1))
+        # Lorentz switch (modm.f90:419-431): far wings or zeta > 0.99
+        zlor = hw * jnp.float32(0.01) > ad * jnp.float32(0.99)
+        use_lor = (jnp.abs(d1) > 100.0 * ad) | zlor
+        k3l = xlorentz(DELTNU_CUT / hw) / hw
         k3 = jnp.where(use_lor, k3l, k3v)
+
+        if gate:
+            any_voigt = jnp.any(keep & ~use_lor)
+
+            def K(dd, dl):
+                # block-level skip of the SD-Voigt/Humlicek machinery when
+                # every surviving line uses the Lorentz limit (the common
+                # MW case: zeta > 0.99 at tropospheric pressures);
+                # identical results — the gated branch evaluates all lanes
+                # exactly as the ungated form does
+                def full():
+                    dv = sdvoigt(dd, hw, ad,
+                                 jnp.broadcast_to(sdep, dd.shape), gate=True)
+                    return jnp.where(use_lor, dl, dv)
+
+                return jax.lax.cond(any_voigt, full, lambda: dl)
+
+            k1 = K(d1, xlorentz(d1 / hw) / hw)
+            # the wn+nu mirror term is only consumed where mirror holds
+            # (lines within 25 cm^-1 of 0) or for coupled O2 lines
+            # (modm.f90:649-704); skip its shape evaluations otherwise
+            k2 = jax.lax.cond(
+                jnp.any((mirror & keep) | (is_o2 & has_cpl & valid)),
+                lambda: K(dsum, xlorentz(dsum / hw) / hw),
+                lambda: jnp.zeros_like(d1))
+        else:
+            def K(dd):
+                dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape))
+                return jnp.where(use_lor, xlorentz(dd / hw) / hw, dv)
+
+            k1 = K(d1)
+            k2 = K(dsum)
 
         y1 = 1.0 + ya * d1 + yb
         y2 = 1.0 - ya * dsum + yb
-        y1p = 1.0 + ya * DELTNU_CUT + yb
+        y1p = 1.0 + ya * DELTNU_CUT + yb      # [1, Nt]
         y2p = 1.0 - ya * DELTNU_CUT + yb
 
         ped = 2.0 - (d1 * d1) / (DELTNU_CUT * DELTNU_CUT)
 
+        # LSF branch trees (modm.f90:567-831)
         sls_other = jnp.where(
             has_cpl,
             y1 * k1 - y1p * k3 + jnp.where(mirror, y2 * k2 - y2p * k3, 0.0),
@@ -201,72 +194,83 @@ def _kernel(wn_hi_ref, wn_lo_ref,
                                     preferred_element_type=jnp.float32)
 
 
-def line_od_pallas(cat: dict, wn64: np.ndarray, p, t, wk, wbrod, scor_flat,
-                   cfg: LineConfig, n_mol: int, line_tile: int = 512,
+def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
+                   cand_map: np.ndarray, cand_valid: np.ndarray,
+                   nt: int, wt: int,
+                   p, t, wk, wbrod, scor_flat,
+                   cfg: LineConfig, n_mol: int,
+                   gate: bool = True,
                    interpret: bool | None = None):
-    """Line OD on [L, W, n_mol] via the Pallas kernel (f32 only).
+    """Line shape-function sum on [L, W, n_mol] via the Pallas kernel.
 
-    wn64: [W] float64 host grid (W should be a multiple of 128).
+    tiled_cat: device catalog whose line axis is the *tiled* order
+      (nu-sorted windowed tiles then O2 tiles, padded), length K*nt.
+    wn_hi/wn_lo: [Wp] f32 two-float split of the padded wavenumber grid
+      (Wp a multiple of wt).
+    cand_map/cand_valid: [n_wt, n_cand] i32 — candidate tile index per
+      (wn tile, slot) and its validity (0 slots are skipped in-kernel).
     p/t/wk/wbrod/scor_flat carry a single flat layer axis L.
     interpret=None auto-selects: compiled Mosaic on TPU, interpreter
     elsewhere (CPU test meshes), so the same call sites work everywhere.
+
+    Returns sf [L, Wp, n_mol]; callers apply RFT * W_species
+    (modm.f90:436-438) and crop the wn padding.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dtype = jnp.float32
-    pre = precompute(cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
+    pre = precompute(tiled_cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
     L = pre["stild"].shape[0]
     n = pre["stild"].shape[-1]
-    nt = min(line_tile, n)
     assert n % nt == 0, (n, nt)
-    n_lt = n // nt
 
-    wn_hi = np.asarray(wn64, np.float64).astype(np.float32)
-    wn_lo = (np.asarray(wn64, np.float64) - wn_hi.astype(np.float64)
-             ).astype(np.float32)
-    w = len(wn_hi)
+    wp = len(wn_hi)
+    assert wp % wt == 0, (wp, wt)
+    n_wt = wp // wt
+    n_cand = cand_map.shape[1]
+    assert cand_map.shape == (n_wt, n_cand), (cand_map.shape, n_wt)
 
-    onehot = jax.nn.one_hot(cat["mol"] - 1, n_mol, dtype=dtype)
+    onehot = jax.nn.one_hot(tiled_cat["mol"] - 1, n_mol, dtype=dtype)
 
-    per_ln = ["shift", "xnu", "stild", "hw", "ad", "zlor", "k3v", "k3l",
-              "ya", "yb", "sdep"]
-    flags = ["o2", "co2", "cpl", "xf1", "xf15", "valid"]
-
-    # index maps return explicit i32 numpy literals: Python ints would
-    # trace as i64 under jax_enable_x64 (Mosaic rejects i64) and jnp
-    # arrays would be captured consts (pallas rejects those)
-    z = np.int32(0)
+    # index maps receive the grid indices then the scalar-prefetch refs;
+    # blocks that don't depend on j stay resident across candidate steps
     in_specs = [
-        pl.BlockSpec((1, w), lambda l, j: (z, z)),   # wn_hi
-        pl.BlockSpec((1, w), lambda l, j: (z, z)),   # wn_lo
-        pl.BlockSpec((1, nt), lambda l, j: (z, j)),  # nu_hi
-        pl.BlockSpec((1, nt), lambda l, j: (z, j)),  # nu_lo
+        pl.BlockSpec((1, wt), lambda l, i, j, cm, cv: (0, i)),   # wn_hi
+        pl.BlockSpec((1, wt), lambda l, i, j, cm, cv: (0, i)),   # wn_lo
     ]
-    args = [jnp.asarray(wn_hi)[None, :], jnp.asarray(wn_lo)[None, :],
-            pre["nu_hi"][None, :], pre["nu_lo"][None, :]]
-    for k in per_ln:
+    args = [jnp.asarray(wn_hi, dtype)[None, :],
+            jnp.asarray(wn_lo, dtype)[None, :]]
+    cand_spec = lambda l, i, j, cm, cv: (0, cm[i, j])
+    for k in PER_L:
+        args.append(pre[k][None, :])
+        in_specs.append(pl.BlockSpec((1, nt), cand_spec))
+    for k in PER_LN:
         v = pre[k]
         v = jnp.broadcast_to(v, (L, n)) if v.ndim == 1 else v
         args.append(v[:, None, :])           # [L, 1, N]
-        in_specs.append(pl.BlockSpec((1, 1, nt), lambda l, j: (l, z, j)))
-    for k in flags:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, nt), lambda l, i, j, cm, cv: (l, 0, cm[i, j])))
+    for k in FLAGS:
         args.append(pre["flags"][k][None, :])
-        in_specs.append(pl.BlockSpec((1, nt), lambda l, j: (z, j)))
+        in_specs.append(pl.BlockSpec((1, nt), cand_spec))
     args.append(onehot)
-    in_specs.append(pl.BlockSpec((nt, n_mol), lambda l, j: (j, z)))
+    in_specs.append(pl.BlockSpec((nt, n_mol),
+                                 lambda l, i, j, cm, cv: (cm[i, j], 0)))
 
-    sf = pl.pallas_call(
-        _kernel,
-        grid=(L, n_lt),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, n_wt, n_cand),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, w, n_mol), lambda l, j: (l, z, z)),
-        out_shape=jax.ShapeDtypeStruct((L, w, n_mol), jnp.float32),
+        out_specs=pl.BlockSpec((1, wt, n_mol),
+                               lambda l, i, j, cm, cv: (l, i, 0)),
+    )
+    sf = pl.pallas_call(
+        functools.partial(_kernel, gate=gate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, wp, n_mol), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(*args)
-
-    # od = RFT * W_species * SF (modm.f90:436-438)
-    t_ = jnp.asarray(t, dtype)
-    wn_d = jnp.asarray(wn_hi, dtype)
-    rft = wn_d * jnp.tanh(cst.RADCT * wn_d / (2.0 * t_[..., None]))
-    wk_m = jnp.asarray(wk, dtype)[..., :n_mol]
-    return rft[..., :, None] * wk_m[..., None, :] * sf.astype(dtype)
+    )(jnp.asarray(cand_map, jnp.int32), jnp.asarray(cand_valid, jnp.int32),
+      *args)
+    return sf

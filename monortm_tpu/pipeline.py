@@ -2,15 +2,19 @@
 MONORTM.OUT, mirroring the reference driver loop (monortm.f90:316-588).
 
 Host-side orchestration only; all device compute lives in models/*.
-Profiles with identical shapes are batched onto the device together.
+Profiles with identical shapes (same layer count / viewing geometry) are
+stacked and batched onto the device as one [B, nlay] forward call, jitted
+once per shape; outputs are written per profile in input order.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
+from typing import Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from monortm_tpu import constants as cst
@@ -78,12 +82,50 @@ class RunResult:
     results: list     # per profile ForwardResult
 
 
+def _index_tree(x, i):
+    """Per-profile numpy view into one batched output container."""
+    if x is None:
+        return None
+    if isinstance(x, dict):
+        return {k: _index_tree(v, i) for k, v in x.items()}
+    return np.asarray(x)[i]
+
+
+def _slice_result(res, i):
+    """Profile i's view of a batched ForwardResult (host numpy)."""
+    from monortm_tpu.models.monortm import ForwardResult
+    from monortm_tpu.models.od import ODResult
+    from monortm_tpu.models.rt import RTResult
+    od = ODResult(od_total=_index_tree(res.od.od_total, i),
+                  od_by_mol=_index_tree(res.od.od_by_mol, i),
+                  oc=_index_tree(res.od.oc, i),
+                  od_clw=_index_tree(res.od.od_clw, i),
+                  od_xsec=_index_tree(res.od.od_xsec, i))
+    rt = RTResult(*(_index_tree(v, i) for v in res.rt))
+    return ForwardResult(rt=rt, od=od, emis=res.emis, refl=res.refl)
+
+
+def _max_batch(nwn: int, nlay: int, nmol: int,
+               budget_bytes: float = 2.0e9) -> int:
+    """Cap the profile batch so the dominant [B, W, M, L] output fits."""
+    per = max(1, nwn * nlay * (nmol + 6) * 4 * 2)
+    return int(max(1, min(256, budget_bytes // per)))
+
+
 def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         fileout="MONORTM.OUT", outdir=".", dtype=jnp.float32,
         wn_tile=128, line_tile=4096, emis_dir=None,
         netcdf=False, profile_dir=None) -> RunResult:
     filein = Path(filein)
     timer = StageTimer()
+    # persistent compile cache: first compile of the forward is slow on
+    # this class of backend (tens of seconds); repeat runs hit the cache
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path.home() / ".cache" / "monortm_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     iatm, ixsect, nprof = count_profiles(filein, fileprof)
 
     rd = Tape5Reader(filein)
@@ -138,8 +180,11 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         log.write(f"    {HMOLC[m-1]:>6s} = {mol_counts[m]:6d}\n")
     log.write(f"0 TOTAL NUMBER OF LINES ={catalog.n_lines:8d}\n")
 
-    with writer, profile_trace(profile_dir):
-        for npr, prof in enumerate(profiles, start=1):
+    # ---- host prep per profile (scaling, columns, xsec OD) ----------
+    cld_file = filein.parent / "in_lblrtm_cld"
+    prepped = []
+    with timer.stage("host-prep"):
+        for prof in profiles:
             st, meta = prof.state, prof.meta
             wkl = st.wkl
             if cfg.nmol_scal > 0:
@@ -147,20 +192,6 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                                   cfg.hmol_scal, cfg.xmol_scal,
                                   cfg.nmol_scal)
             pwv, clw_col = integr(wkl, st.clw)
-
-            key = st.t.shape[-1]
-            if key not in model_cache:
-                model_cache[key] = MonoRTM(
-                    wn, cfg.dvset, catalog, nmol=meta.nmol,
-                    factors=cfg.factors, line_cfg=LineConfig(ibrd=cfg.ibrd),
-                    dtype=dtype, wn_tile=wn_tile, line_tile=line_tile)
-            model = model_cache[key]
-
-            state_d = LayerState(
-                p=jnp.asarray(st.p, dtype), t=jnp.asarray(st.t, dtype),
-                tz=jnp.asarray(st.tz, dtype), wkl=jnp.asarray(wkl, dtype),
-                wbrodl=jnp.asarray(st.wbrodl, dtype),
-                clw=jnp.asarray(st.clw, dtype))
 
             # cross-section molecules (IATM=0 layer amounts;
             # monortm.f90:492-532 + MONORTM_XSEC_SUB)
@@ -180,7 +211,6 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 od_xsec = xsec_od(idx, spectra, wn, st.p, st.t, prof.xamnt)
 
             # optional TES cloud OD file (see io/cldod.py)
-            cld_file = filein.parent / "in_lblrtm_cld"
             if cld_file.exists():
                 from monortm_tpu.io.cldod import cloud_od_on_grid
                 extra = cloud_od_on_grid(cld_file, wn, st.t.shape[-1])
@@ -190,31 +220,86 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             tbound = cfg.tbound
             if tbound < 0.0:       # FPACK: use TZ(0) (lblatm.f90:5952)
                 tbound = float(np.asarray(st.tz)[0])
-            with timer.stage("device-forward"):
-                res = model.forward(state_d, jnp.asarray(tbound, dtype),
-                                    jnp.asarray(emis, dtype),
-                                    jnp.asarray(refl, dtype), irt,
-                                    od_xsec=od_xsec)
-                import jax
-                jax.block_until_ready(res.rt.tb)
+            prepped.append(dict(st=st, meta=meta, wkl=wkl, pwv=pwv,
+                                clw_col=clw_col, od_xsec=od_xsec,
+                                irt=irt, tbound=tbound))
 
+    # ---- group same-shape profiles into batched device calls --------
+    # (one [B, nlay] forward per group chunk; the reference runs profile
+    # by profile, monortm.f90:357 — batching is the TPU-native win)
+    groups: dict[tuple, list[int]] = {}
+    for idx, pr in enumerate(prepped):
+        key = (pr["st"].t.shape[-1], pr["irt"], pr["meta"].nmol,
+               pr["od_xsec"] is not None)
+        groups.setdefault(key, []).append(idx)
+
+    emis_d = jnp.asarray(emis, dtype)
+    refl_d = jnp.asarray(refl, dtype)
+    jit_cache: dict[tuple, Any] = {}
+    results: list = [None] * len(prepped)
+
+    with profile_trace(profile_dir):
+        for (nlay, irt, nmol, has_x), idxs in groups.items():
+            if nmol not in model_cache:
+                model_cache[nmol] = MonoRTM(
+                    wn, cfg.dvset, catalog, nmol=nmol,
+                    factors=cfg.factors, line_cfg=LineConfig(ibrd=cfg.ibrd),
+                    dtype=dtype, wn_tile=wn_tile, line_tile=line_tile)
+            model = model_cache[nmol]
+            if (nmol, irt) not in jit_cache:
+                jit_cache[(nmol, irt)] = jax.jit(
+                    lambda s, tsfc, ox, m=model, r=irt:
+                    m.forward(s, tsfc, emis_d, refl_d, r, od_xsec=ox))
+            fwd = jit_cache[(nmol, irt)]
+
+            bmax = _max_batch(len(wn), nlay, nmol)
+            for c0 in range(0, len(idxs), bmax):
+                chunk = idxs[c0:c0 + bmax]
+                prs = [prepped[i] for i in chunk]
+                stack = lambda f: np.stack([f(p) for p in prs])
+                state_d = LayerState(
+                    p=jnp.asarray(stack(lambda p: p["st"].p), dtype),
+                    t=jnp.asarray(stack(lambda p: p["st"].t), dtype),
+                    tz=jnp.asarray(stack(lambda p: p["st"].tz), dtype),
+                    wkl=jnp.asarray(stack(lambda p: p["wkl"]), dtype),
+                    wbrodl=jnp.asarray(stack(lambda p: p["st"].wbrodl),
+                                       dtype),
+                    clw=jnp.asarray(stack(lambda p: p["st"].clw), dtype))
+                tsfc = jnp.asarray(
+                    stack(lambda p: np.asarray([p["tbound"]])), dtype)
+                ox = None
+                if has_x:
+                    ox = jnp.asarray(stack(lambda p: p["od_xsec"]), dtype)
+
+                with timer.stage("device-forward"):
+                    res = fwd(state_d, tsfc, ox)
+                    jax.block_until_ready(res.rt.tb)
+                for bi, i in enumerate(chunk):
+                    results[i] = _slice_result(res, bi)
+
+    # ---- write outputs in input order --------------------------------
+    with writer:
+        for i, (pr, res) in enumerate(zip(prepped, results)):
+            npr = i + 1
+            st, meta = pr["st"], pr["meta"]
             with timer.stage("output"):
-                writer.write_profile(npr, wn, res, st, meta, pwv,
-                                     clw_col, tbound, meta.angle)
+                writer.write_profile(npr, wn, res, st, meta, pr["pwv"],
+                                     pr["clw_col"], pr["tbound"],
+                                     meta.angle)
             if cfg.iod == 1:
                 writer.write_layer_ods(npr, wn, res.od.od_total, outdir)
             if netcdf:  # USENETCDF build option (monortm_sub.F90:698-778)
                 from monortm_tpu.io.output import write_netcdf
                 write_netcdf(Path(outdir) / f"MONORTM.{npr:05d}.nc", npr,
-                             wn, res, st, meta, pwv, clw_col, tbound,
-                             meta.angle)
+                             wn, res, st, meta, pr["pwv"], pr["clw_col"],
+                             pr["tbound"], meta.angle)
 
             out.tb.append(np.asarray(res.rt.tb))
             out.rad.append(np.asarray(res.rt.rad))
             out.results.append(res)
             log.write(f"PROFILE {npr:5d}: NLAYRS={st.t.shape[-1]:4d} "
-                      f"ANGLE={meta.angle:8.3f} IRT={irt} "
-                      f"PWV={pwv:8.4f} CLW={clw_col:8.4f}\n")
+                      f"ANGLE={meta.angle:8.3f} IRT={pr['irt']} "
+                      f"PWV={pr['pwv']:8.4f} CLW={pr['clw_col']:8.4f}\n")
             print(f"PROCESSING PROFILE NUMBER: {npr:5d}")
     log.write(timer.report())
     log.close()

@@ -14,7 +14,8 @@ import os
 # sitecustomize may have already imported jax and prepended its own platform
 # to jax_platforms before this conftest runs.
 _platform = os.environ.get("MONORTM_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,5 +24,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", _platform)
-jax.config.update("jax_enable_x64", True)
+if _platform == "cpu":
+    # force CPU via jax.config too (not just the env var): the PJRT
+    # sitecustomize may have imported jax already and prepended its own
+    # platform (e.g. "axon" for tunneled TPUs) to jax_platforms
+    jax.config.update("jax_platforms", _platform)
+else:
+    # hardware run: keep the environment's platform list (the TPU plugin
+    # may register under a different name, e.g. "axon"), x64 off (TPUs
+    # have no f64), and use a persistent compile cache
+    jax.config.update("jax_compilation_cache_dir",
+                      str(__import__("pathlib").Path(__file__).parent.parent
+                          / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+jax.config.update("jax_enable_x64", _platform == "cpu")

@@ -1,86 +1,145 @@
-"""Pallas line-sum kernel vs the validated jnp line engine (f32)."""
+"""Pallas line-sum kernel vs the validated jnp line engine (f32).
+
+CPU runs exercise the kernel in interpret mode; set
+MONORTM_TEST_PLATFORM=tpu to additionally compile the Mosaic kernel at
+benchmark shapes on a real chip (guards the BENCH_r01 VMEM-OOM failure
+mode).
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from monortm_tpu.ops.lineshape import LineConfig, catalog_to_device, line_od_block
-from monortm_tpu.ops.linesum_pallas import line_od_pallas
-from monortm_tpu.ops.tips import tips_scor
-from monortm_tpu.testing import synthetic_catalog_mw
+from monortm_tpu.models.od import ODModel
+from monortm_tpu.ops.lineshape import LineConfig
+from monortm_tpu.testing import synthetic_catalog_mw, synthetic_state
+
+TOL = dict(rtol=2e-5)
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cat = synthetic_catalog_mw(n_h2o=48, n_o2=16, tile=128)
-    dev = catalog_to_device(cat, jnp.float32)
-    wn64 = np.linspace(0.4, 50.0, 128)
-    L = 4
-    p = jnp.asarray(np.geomspace(1000.0, 200.0, L), jnp.float32)
-    t = jnp.asarray(np.linspace(288.0, 225.0, L), jnp.float32)
-    wk = np.zeros((L, 39))
-    wk[:, 0] = np.geomspace(6e21, 1e19, L)
-    wk[:, 6] = np.geomspace(4e23, 9e22, L)
-    wk[:, 21] = np.geomspace(1.5e24, 3.4e23, L)
-    wk = jnp.asarray(wk, jnp.float32)
-    wb = jnp.asarray(np.geomspace(2e22, 5e21, L), jnp.float32)
-    scor = tips_scor(t, dtype=jnp.float32).reshape(L, -1)
-    return cat, dev, wn64, p, t, wk, wb, scor
+def _models(wn, cat, **kw):
+    base = dict(dvset=float(wn[1] - wn[0]), catalog=cat, nmol=22,
+                dtype=jnp.float32, wn_tile=32, line_tile=128)
+    base.update(kw)
+    return (ODModel(wn, use_pallas=False, **base),
+            ODModel(wn, use_pallas=True, **base))
 
 
-def _reference(dev, wn64, p, t, wk, wb, scor):
-    wn_hi = wn64.astype(np.float32)
-    wn_lo = (wn64 - wn_hi.astype(np.float64)).astype(np.float32)
-    return line_od_block(dev, jnp.asarray(wn_hi), (jnp.asarray(wn_hi),
-                                                   jnp.asarray(wn_lo)),
-                         p, t, wk, wb, scor, LineConfig(), 39,
-                         jnp.float32)
-
-
-def test_pallas_matches_jnp_engine(setup):
-    cat, dev, wn64, p, t, wk, wb, scor = setup
-    want = np.asarray(_reference(dev, wn64, p, t, wk, wb, scor))
-    got = np.asarray(line_od_pallas(dev, wn64, p, t, wk, wb, scor,
-                                    LineConfig(), 39, line_tile=128))
-    assert got.shape == want.shape
-    scale = np.abs(want).max()
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6 * scale)
-
-
-def test_pallas_jit_and_grad(setup):
-    cat, dev, wn64, p, t, wk, wb, scor = setup
-
-    @jax.jit
-    def total(t_):
-        sc = tips_scor(t_, dtype=jnp.float32).reshape(t_.shape[0], -1)
-        od = line_od_pallas(dev, wn64, p, t_, wk, wb, sc,
-                            LineConfig(), 39, line_tile=128)
-        return jnp.sum(od)
-
-    v = total(t)
-    assert np.isfinite(float(v))
-
-
-def test_odmodel_pallas_integration(setup):
-    """ODModel(use_pallas=True) matches the XLA engine end-to-end,
-    including wn-grid padding and per-molecule attribution."""
-    from monortm_tpu.models.od import ODModel
-    from monortm_tpu.testing import synthetic_state
-
-    cat, dev, wn64, p, t, wk, wb, scor = setup
-    wn = np.linspace(0.4, 50.0, 96)      # not a multiple of wn_tile
-    kw = dict(dvset=0.05, catalog=cat, nmol=22, dtype=jnp.float32,
-              wn_tile=32, line_tile=128)
-    m_ref = ODModel(wn, **kw)
-    m_pl = ODModel(wn, use_pallas=True, **kw)
-    state = synthetic_state(nlay=4)
+def _check(m_ref, m_pl, state):
     want = m_ref(state)
     got = m_pl(state)
-    scale = float(jnp.abs(want.od_total).max())
+    scale = max(float(jnp.abs(want.od_total).max()), 1e-30)
     np.testing.assert_allclose(np.asarray(got.od_total),
                                np.asarray(want.od_total),
-                               rtol=2e-5, atol=2e-6 * scale)
+                               atol=2e-6 * scale, **TOL)
     np.testing.assert_allclose(np.asarray(got.od_by_mol),
                                np.asarray(want.od_by_mol),
-                               rtol=2e-5, atol=2e-6 * scale)
+                               atol=2e-6 * scale, **TOL)
+
+
+def test_pallas_matches_xla_engine():
+    """End-to-end ODModel equivalence, incl. wn padding + attribution."""
+    cat = synthetic_catalog_mw(n_h2o=48, n_o2=16, tile=128)
+    wn = np.linspace(0.4, 50.0, 96)      # not a multiple of any tile
+    m_ref, m_pl = _models(wn, cat)
+    _check(m_ref, m_pl, synthetic_state(nlay=4))
+
+
+def test_pallas_batched_profiles():
+    cat = synthetic_catalog_mw(n_h2o=48, n_o2=16, tile=128)
+    wn = np.linspace(0.4, 50.0, 64)
+    m_ref, m_pl = _models(wn, cat)
+    _check(m_ref, m_pl, synthetic_state(nlay=4, batch=3))
+
+
+def test_pallas_ibrd():
+    """IBRD=1 (species-specific broadening) rides the shared prologue."""
+    cat = synthetic_catalog_mw(n_h2o=48, n_o2=16, tile=128)
+    # give some lines broadening data
+    cat.brd_flg[::3, :3] = 1
+    cat.brd_hw[::3, :3] = 0.07
+    cat.brd_tmp[::3, :3] = 0.7
+    cat.brd_shft[::3, :3] = 0.01
+    wn = np.linspace(0.4, 50.0, 64)
+    m_ref, m_pl = _models(wn, cat, line_cfg=LineConfig(ibrd=1))
+    _check(m_ref, m_pl, synthetic_state(nlay=4))
+
+
+def test_pallas_far_detuned_tiles():
+    """Far line tiles (all |d1| > 25 cm^-1, no O2): the candidate pruning
+    and the in-kernel keep-mask skip paths must still match the XLA
+    engine (ADVICE r1)."""
+    cat = synthetic_catalog_mw(n_h2o=48, n_o2=0, seed=3, tile=128)
+    # shift all lines far above the grid
+    cat.nu0[:] = cat.nu0 + 500.0
+    cat.nu0_hi[:] = cat.nu0.astype(np.float32)
+    cat.nu0_lo[:] = (cat.nu0 - cat.nu0_hi.astype(np.float64)).astype(
+        np.float32)
+    wn = np.linspace(0.4, 50.0, 64)
+    m_ref, m_pl = _models(wn, cat)
+    state = synthetic_state(nlay=4)
+    _check(m_ref, m_pl, state)
+    # and the result really is zero line OD
+    got = m_pl(state)
+    assert float(jnp.abs(got.od_by_mol).max()) == 0.0
+
+
+def test_pallas_all_lorentz_and_voigt_regimes():
+    """High pressure (zeta>0.99 everywhere -> all-Lorentz block skip) and
+    near-vacuum (Voigt/SD-Voigt dominant) both match (ADVICE r1)."""
+    cat = synthetic_catalog_mw(n_h2o=32, n_o2=16, tile=128)
+    wn = np.linspace(0.4, 50.0, 64)
+    m_ref, m_pl = _models(wn, cat)
+    st = synthetic_state(nlay=4)
+    hi = st.__class__(p=np.full_like(np.asarray(st.p), 1013.0), t=st.t,
+                      tz=st.tz, wkl=st.wkl, wbrodl=st.wbrodl, clw=st.clw)
+    lo = st.__class__(p=np.full_like(np.asarray(st.p), 0.02), t=st.t,
+                      tz=st.tz, wkl=st.wkl, wbrodl=st.wbrodl, clw=st.clw)
+    _check(m_ref, m_pl, hi)
+    _check(m_ref, m_pl, lo)
+
+
+def test_pallas_jit():
+    cat = synthetic_catalog_mw(n_h2o=48, n_o2=16, tile=128)
+    wn = np.linspace(0.4, 50.0, 64)
+    _, m_pl = _models(wn, cat)
+    state = synthetic_state(nlay=4)
+
+    @jax.jit
+    def total(s):
+        return jnp.sum(m_pl(s).od_total)
+
+    assert np.isfinite(float(total(state)))
+
+
+def test_pallas_candidate_pruning_is_sparse():
+    """A wide catalog against a narrow grid prunes most line tiles."""
+    cat = synthetic_catalog_mw(n_h2o=512, n_o2=0, seed=5, tile=128)
+    spread = np.linspace(0.0, 4000.0, len(cat.nu0))
+    cat.nu0[:] = cat.nu0 + spread
+    cat.nu0_hi[:] = cat.nu0.astype(np.float32)
+    cat.nu0_lo[:] = (cat.nu0 - cat.nu0_hi.astype(np.float64)).astype(
+        np.float32)
+    wn = np.linspace(0.4, 50.0, 64)
+    m = ODModel(wn, dvset=0.05, catalog=cat, nmol=22, dtype=jnp.float32,
+                use_pallas=True, pallas_line_tile=128)
+    n_tiles_total = m.pallas_cat["mol"].shape[0] // m.pallas_nt
+    n_cand = m.pallas_cand_map.shape[1]
+    assert n_cand < n_tiles_total, (n_cand, n_tiles_total)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled-Mosaic check needs a TPU")
+def test_pallas_compiles_at_bench_shapes():
+    """Guards the BENCH_r01 failure: Mosaic compile + run at bench-scale
+    shapes (W>=1024, n>=3584, L>=320) must fit scoped VMEM."""
+    cat = synthetic_catalog_mw(n_h2o=2048, n_o2=1024, tile=512)
+    wn = np.linspace(0.3, 55.0, 1024)
+    m = ODModel(wn, dvset=float(wn[1] - wn[0]), catalog=cat, nmol=22,
+                dtype=jnp.float32, use_pallas=True)
+    state = synthetic_state(nlay=40, batch=8)
+    scor = jnp.ones((8, 40, 39 * 9), jnp.float32)
+    od = jax.jit(lambda s: m.line_od_pallas(s, scor))(state)
+    od.block_until_ready()
+    assert np.all(np.isfinite(np.asarray(od)))
