@@ -24,7 +24,8 @@ from monortm_tpu import constants as cst
 from monortm_tpu.lines import PackedCatalog
 from monortm_tpu.ops.cloud import od_clw
 from monortm_tpu.ops.continuum import ContinuumPlan, ContinuumFactors, SPECIES
-from monortm_tpu.ops.lineshape import LineConfig, catalog_to_device, line_od_block
+from monortm_tpu.ops.lineshape import (LineConfig, catalog_to_host,
+                                       line_od_block)
 from monortm_tpu.ops.tips import tips_scor
 from monortm_tpu.types import LayerState
 
@@ -59,7 +60,10 @@ class ODModel:
         self.cont = ContinuumPlan(self.wn64, dvset=dvset, factors=factors,
                                   nmol=nmol)
         self.catalog = catalog
-        self.dev_cat = catalog_to_device(catalog, dtype)
+        # host copy for tile/plan building (no device round trips);
+        # device tiles are gathered from it and uploaded once
+        self.host_cat = catalog_to_host(catalog, dtype)
+        self.dev_cat = {k: jnp.asarray(v) for k, v in self.host_cat.items()}
         # Pallas line-sum fast path (f32 only; ops/linesum_pallas.py).
         # None = auto: use it whenever the default backend is a TPU.
         if use_pallas is None:
@@ -112,8 +116,7 @@ class ODModel:
 
         def gather_tiles(rows_mask):
             rows, mask = rows_mask
-            out = {k: jnp.asarray(np.asarray(v)[rows])
-                   for k, v in self.dev_cat.items()}
+            out = {k: jnp.asarray(v[rows]) for k, v in self.host_cat.items()}
             # padding rows repeat index 0 — mask them out explicitly
             out["valid"] = jnp.asarray(
                 np.asarray(self.catalog.valid)[rows] & mask)
@@ -191,8 +194,8 @@ class ODModel:
         rows = np.concatenate([p[0] for p in parts]).reshape(-1)
         mask = np.concatenate([p[1] for p in parts]).reshape(-1)
 
-        self.pallas_cat = {k: jnp.asarray(np.asarray(v)[rows])
-                           for k, v in self.dev_cat.items()}
+        self.pallas_cat = {k: jnp.asarray(v[rows])
+                           for k, v in self.host_cat.items()}
         self.pallas_cat["valid"] = jnp.asarray(
             np.asarray(self.catalog.valid)[rows] & mask)
         self.pallas_nt = nt

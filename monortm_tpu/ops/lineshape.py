@@ -45,12 +45,15 @@ class LineConfig:
     ibrd: int = 0
 
 
-def catalog_to_device(cat: PackedCatalog, dtype=jnp.float32) -> dict:
-    """Upload packed catalog columns with the right device dtypes."""
-    f = lambda a: jnp.asarray(a, dtype)
+def catalog_to_host(cat: PackedCatalog, dtype=jnp.float32) -> dict:
+    """Packed catalog columns as host numpy arrays with the device dtype
+    layout.  Kept on host so tile/plan building never round-trips through
+    the device (device->host reads are expensive on tunneled backends)."""
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    f = lambda a: np.asarray(a, npdt)
     d = {
-        "mol": jnp.asarray(cat.mol, jnp.int32),
-        "iso_flat": jnp.asarray(cat.iso_flat, jnp.int32),
+        "mol": np.asarray(cat.mol, np.int32),
+        "iso_flat": np.asarray(cat.iso_flat, np.int32),
         "s0adj": f(cat.s0adj),
         "e": f(cat.e),
         "alpf": f(cat.alpf),
@@ -59,21 +62,26 @@ def catalog_to_device(cat: PackedCatalog, dtype=jnp.float32) -> dict:
         "pshift": f(cat.pshift),
         "sdep": f(cat.sdep),
         "mass": f(cat.mass),
-        "xg": jnp.asarray(cat.xg, jnp.int32),
+        "xg": np.asarray(cat.xg, np.int32),
         "a1": f(cat.a1), "b1": f(cat.b1), "a2": f(cat.a2), "b2": f(cat.b2),
-        "self_mix": jnp.asarray(cat.self_mix),
-        "valid": jnp.asarray(cat.valid),
-        "brd_flg": jnp.asarray(cat.brd_flg, jnp.int32),
+        "self_mix": np.asarray(cat.self_mix),
+        "valid": np.asarray(cat.valid),
+        "brd_flg": np.asarray(cat.brd_flg, np.int32),
         "brd_hw": f(cat.brd_hw),
         "brd_tmp": f(cat.brd_tmp),
         "brd_shft": f(cat.brd_shft),
     }
     if dtype == jnp.float64:
-        d["nu0"] = jnp.asarray(cat.nu0, jnp.float64)
+        d["nu0"] = np.asarray(cat.nu0, np.float64)
     else:
-        d["nu0_hi"] = jnp.asarray(cat.nu0_hi, dtype)
-        d["nu0_lo"] = jnp.asarray(cat.nu0_lo, dtype)
+        d["nu0_hi"] = np.asarray(cat.nu0_hi, npdt)
+        d["nu0_lo"] = np.asarray(cat.nu0_lo, npdt)
     return d
+
+
+def catalog_to_device(cat: PackedCatalog, dtype=jnp.float32) -> dict:
+    """Upload packed catalog columns with the right device dtypes."""
+    return {k: jnp.asarray(v) for k, v in catalog_to_host(cat, dtype).items()}
 
 
 def _coupling_coeffs(cat, t, rhorat, rho_mol, cfg: LineConfig):

@@ -78,7 +78,8 @@ def shard_forward(model, mesh: Mesh, irt: int):
 def shard_forward_and_grad(model, mesh: Mesh, irt: int):
     """Forward + adjoint (retrieval-style sensitivity) under the same
     sharding: returns fn(state, tsfc, emis, refl, tb_obs) ->
-    (loss, grads wrt state)."""
+    (loss, grads wrt state).  The adjoint outputs are constrained to the
+    same profile sharding as the inputs (replicated scalar loss)."""
     out_shardings = (NamedSharding(mesh, P()),
                      jax.tree_util.tree_map(
                          lambda _: NamedSharding(mesh, P("prof")),
@@ -88,7 +89,7 @@ def shard_forward_and_grad(model, mesh: Mesh, irt: int):
         tb = model.tb(state, tsfc, emis, refl, irt)
         return jnp.mean((tb - tb_obs) ** 2)
 
-    @jax.jit
+    @partial(jax.jit, out_shardings=out_shardings)
     def fn(state, tsfc, emis, refl, tb_obs):
         loss, grads = jax.value_and_grad(loss_fn)(state, tsfc, emis, refl,
                                                   tb_obs)

@@ -123,7 +123,9 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     try:
         jax.config.update("jax_compilation_cache_dir",
                           str(Path.home() / ".cache" / "monortm_tpu_jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # cache even sub-second compiles: on remote-compile backends every
+        # miss is an HTTP round trip
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     except Exception:
         pass
     iatm, ixsect, nprof = count_profiles(filein, fileprof)
@@ -233,8 +235,12 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                pr["od_xsec"] is not None)
         groups.setdefault(key, []).append(idx)
 
-    emis_d = jnp.asarray(emis, dtype)
-    refl_d = jnp.asarray(refl, dtype)
+    # dtype conversions happen in host numpy: converting inside
+    # jnp.asarray dispatches an eager convert_element_type on the device
+    # (an extra compile round trip on remote-compile backends)
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    emis_d = jnp.asarray(np.asarray(emis, npdt))
+    refl_d = jnp.asarray(np.asarray(refl, npdt))
     jit_cache: dict[tuple, Any] = {}
     results: list = [None] * len(prepped)
 
@@ -256,20 +262,19 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             for c0 in range(0, len(idxs), bmax):
                 chunk = idxs[c0:c0 + bmax]
                 prs = [prepped[i] for i in chunk]
-                stack = lambda f: np.stack([f(p) for p in prs])
+                stack = lambda f: jnp.asarray(
+                    np.stack([f(p) for p in prs]).astype(npdt))
                 state_d = LayerState(
-                    p=jnp.asarray(stack(lambda p: p["st"].p), dtype),
-                    t=jnp.asarray(stack(lambda p: p["st"].t), dtype),
-                    tz=jnp.asarray(stack(lambda p: p["st"].tz), dtype),
-                    wkl=jnp.asarray(stack(lambda p: p["wkl"]), dtype),
-                    wbrodl=jnp.asarray(stack(lambda p: p["st"].wbrodl),
-                                       dtype),
-                    clw=jnp.asarray(stack(lambda p: p["st"].clw), dtype))
-                tsfc = jnp.asarray(
-                    stack(lambda p: np.asarray([p["tbound"]])), dtype)
+                    p=stack(lambda p: p["st"].p),
+                    t=stack(lambda p: p["st"].t),
+                    tz=stack(lambda p: p["st"].tz),
+                    wkl=stack(lambda p: p["wkl"]),
+                    wbrodl=stack(lambda p: p["st"].wbrodl),
+                    clw=stack(lambda p: p["st"].clw))
+                tsfc = stack(lambda p: np.asarray([p["tbound"]]))
                 ox = None
                 if has_x:
-                    ox = jnp.asarray(stack(lambda p: p["od_xsec"]), dtype)
+                    ox = stack(lambda p: p["od_xsec"])
 
                 with timer.stage("device-forward"):
                     res = fwd(state_d, tsfc, ox)
