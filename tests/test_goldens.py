@@ -1,0 +1,65 @@
+"""End-to-end golden regression: the six reference example cases against
+frozen f64-CPU MONORTM.OUT files (tests/goldens/, tools/make_goldens.py).
+
+Any numeric drift in parser -> layering -> OD -> RT -> writer fails here.
+The goldens were produced by this framework's double-precision CPU path
+(true reference outputs are impossible in this image: the reference TAPE3
+is a broken symlink and there is no Fortran compiler — VERDICT r1 item 7);
+column semantics follow monortm_sub.F90:519-801.
+"""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLD = Path(__file__).parent / "goldens"
+REF_IN = Path("/root/reference/run/in")
+
+CASES = {
+    1: ("MONORTM.IN_MDL_ATM_dn", None),
+    2: ("MONORTM.IN_MDL_ATM_up", None),
+    3: ("MONORTM.IN_NOSCALE_IATM1_dn", None),
+    4: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_sav"),
+    5: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_liquid_cloud"),
+    6: ("MONORTM.IN_SCALE_IATM1_MODEL0_HMOL1_dn", None),
+}
+
+
+def _parse_out(path: Path):
+    """MONORTM.OUT -> (header_lines, [rows of floats])."""
+    header, rows = [], []
+    for ln in path.read_text().splitlines():
+        parts = ln.split()
+        if parts and parts[0].isdigit() and len(parts) > 10:
+            rows.append([float(x.replace("NAN", "nan")) for x in parts])
+        else:
+            header.append(ln.rstrip())
+    return header, np.asarray(rows)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_example_case_matches_golden(case, tmp_path):
+    import jax.numpy as jnp
+    from monortm_tpu.pipeline import run
+
+    filein, prof = CASES[case]
+    shutil.copy(REF_IN / filein, tmp_path / "MONORTM.IN")
+    if prof:
+        shutil.copy(REF_IN / prof, tmp_path / "MONORTM_PROF.IN")
+
+    run(filein=tmp_path / "MONORTM.IN",
+        fileprof=tmp_path / "MONORTM_PROF.IN",
+        hfile=GOLD / "TAPE3_synthetic", fileout="MONORTM.OUT",
+        outdir=tmp_path, dtype=jnp.float64)
+
+    want_hdr, want = _parse_out(GOLD / f"case{case}.MONORTM.OUT")
+    got_hdr, got = _parse_out(tmp_path / "MONORTM.OUT")
+
+    assert got_hdr == want_hdr
+    assert got.shape == want.shape
+    # values pass through the writer's fixed-format printing, so they are
+    # identical for deterministic math; the loose-ish rtol only absorbs
+    # last-ulp codegen differences across CPU generations
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-30)
