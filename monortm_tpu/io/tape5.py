@@ -60,6 +60,9 @@ class Tape5Config:
     bndrfl: tuple = (0.0, 0.0, 0.0)
     # remaining lines (records 2.x/3.x) for the LBLATM-equivalent parser
     rest: list = dataclasses.field(default_factory=list)
+    # CHECKINPUTS-style messages (monortm_sub.F90:163-253), echoed to the
+    # console and MONORTM.LOG by the driver
+    warnings: list = dataclasses.field(default_factory=list)
 
     @property
     def nwn(self) -> int:
@@ -113,6 +116,18 @@ class Tape5Reader:
         if cfg.ispd == 1:
             raise ValueError("ISPD=1 is retired (monortm.f90:335-343); "
                              "build an appropriate TAPE3 instead")
+        # record 1.2 input checking (monortm_sub.F90:163-179)
+        if cfg.iemit != 1:
+            cfg.warnings.append(
+                f"WARNING: IEMIT IS IGNORED IN MONORTM; IT IS SET "
+                f"INTERNALLY TO ONE (IEMIT={cfg.iemit})")
+        if cfg.iplot != 1:
+            cfg.warnings.append(
+                f"WARNING: IPLOT MUST BE SET TO 1 TO OUTPUT TBs "
+                f"(IPLOT={cfg.iplot})")
+        if cfg.iod == 1:
+            cfg.warnings.append(
+                "IOD FLAG SET TO OUTPUT LAYER OPTICAL DEPTHS (IOD=1)")
 
         # record 1.2a (ICNTNM=6): list-directed 7 reals
         if cfg.icntnm == 6:
@@ -131,9 +146,18 @@ class Tape5Reader:
         vals = [_f(r[i * 10:(i + 1) * 10]) for i in range(8)]
         v1, v2, sample, dvset = vals[0], vals[1], vals[2], vals[3]
         ilnflg = _i(r[84:85])
+        dvout = _f(r[90:100])
         cfg.nmol_scal = _i(r[100:105])
         if ilnflg > 0:
             raise ValueError("ILNFLG must be 0 for MonoRTM")
+        # record 1.3 checking (monortm_sub.F90:210-253): LBLRTM-only
+        # fields are accepted but ignored, with the reference's warnings
+        for name, val in (("SAMPLE", sample), ("ALFAL0", vals[4]),
+                          ("AVMASS", vals[5]), ("DPTMIN", vals[6]),
+                          ("DPTFAC", vals[7]), ("DVOUT", dvout)):
+            if val > 0:
+                cfg.warnings.append(
+                    f"WARNING: {name} IS IGNORED IN MONORTM ({name}={val:g})")
         cfg.v1, cfg.v2, cfg.dvset = v1, v2, dvset
 
         if cfg.nmol_scal > 0:

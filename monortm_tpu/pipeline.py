@@ -74,6 +74,50 @@ def integr(wkl: np.ndarray, clw: np.ndarray):
     return pwv, float(np.sum(clw))
 
 
+def _log_layer_table(log, p, t, wkl, wbrodl, nmol, title):
+    """LBLATM/profil_scal-style per-layer column table into MONORTM.LOG.
+
+    Molecules 1-7 + OTHER as absolute columns with a density-weighted
+    total row, then molecules 8..nmol as dry-air mixing ratios
+    (monortm_sub.F90:1052-1185, formats 974/980/985; lblatm.f90:1219-1244
+    carries the same per-layer amounts for IATM=1 paths).
+    """
+    from monortm_tpu.data.loader import HMOLC
+    p = np.asarray(p, np.float64)
+    t = np.asarray(t, np.float64)
+    wkl = np.asarray(wkl, np.float64)
+    wbrodl = np.asarray(wbrodl, np.float64)
+    nlay = len(p)
+
+    log.write(f"0{'':>53s}{title}\n")
+    names = [HMOLC[i] for i in range(7)] + ["  OTHER  "]
+    log.write("         P(MB)      T(K)   "
+              + "".join(f"{n:>12s}" for n in names) + "\n")
+    for k in range(nlay):
+        cols = "".join(f"{wkl[k, m]:12.4E}" for m in range(7))
+        log.write(f"{k+1:4d}{p[k]:11.5f}{t[k]:9.2f} "
+                  f"{cols}{wbrodl[k]:12.4E}\n")
+    if nlay > 1:
+        wmt = wkl.sum(axis=0)
+        wtot = wkl[:, :7].sum(axis=1) + wbrodl
+        pwtd = float((p * wtot).sum() / wtot.sum())
+        twtd = float((t * wtot).sum() / wtot.sum())
+        cols = "".join(f"{wmt[m]:12.4E}" for m in range(7))
+        log.write(f" TOT{pwtd:11.5f}{twtd:9.2f} "
+                  f"{cols}{float(wbrodl.sum()):12.4E}\n")
+    if nmol > 7:
+        wdrair = wbrodl[:, None] + wkl[:, 1:nmol].sum(axis=1)[:, None]
+        log.write(f"0{'':>48s}MIXING RATIOS BY LAYER (MOL 8-{nmol})\n")
+        for k in range(nlay):
+            if wdrair[k, 0] <= 0.0:
+                log.write(f"{k+1:4d}  WDRAIR = 0 -- mixing ratios "
+                          "undefined\n")
+                continue
+            vals = wkl[k, 7:nmol] / wdrair[k, 0]
+            cols = "".join(f"{v:12.4E}" for v in vals)
+            log.write(f"{k+1:4d}{p[k]:11.5f}{t[k]:9.2f} {cols}\n")
+
+
 @dataclasses.dataclass
 class RunResult:
     wn: np.ndarray
@@ -173,6 +217,18 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     log.write(f"0 TBOUND   = {cfg.tbound:12.4f}     BOUNDARY EMISSIVITY"
               f"   = {cfg.bndemi[0]:11.3E}{cfg.bndemi[1]:11.3E}"
               f"{cfg.bndemi[2]:11.3E}\n")
+    # CHECKINPUTS-style echoes (monortm_sub.F90:163-253)
+    for w in cfg.warnings:
+        print("----------------------------------------")
+        print(w)
+        log.write(f" {w}\n")
+    # PRCNTM-equivalent continuum info (contnm.f90:1170)
+    f = cfg.factors
+    log.write(" MT_CKD 3.5 CONTINUUM (ICNTNM={:d}): XSELF={:.3f} "
+              "XFRGN={:.3f} XCO2C={:.3f} XO3CN={:.3f} XO2CN={:.3f} "
+              "XN2CN={:.3f} XRAYL={:.3f}\n".format(
+                  cfg.icntnm, f.xself, f.xfrgn, f.xco2c, f.xo3cn,
+                  f.xo2cn, f.xn2cn, f.xrayl))
     log.write("   LINE FILE INFORMATION\n")
     import collections
     mol_counts = collections.Counter(
@@ -186,13 +242,23 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     cld_file = filein.parent / "in_lblrtm_cld"
     prepped = []
     with timer.stage("host-prep"):
-        for prof in profiles:
+        for npr0, prof in enumerate(profiles, start=1):
             st, meta = prof.state, prof.meta
             wkl = st.wkl
+            log.write(f"1 PROFILE {npr0}\n")
+            _log_layer_table(log, st.p, st.t, wkl, st.wbrodl, meta.nmol,
+                             "MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER")
             if cfg.nmol_scal > 0:
                 wkl = profil_scal(wkl, st.wbrodl, meta.nmol,
                                   cfg.hmol_scal, cfg.xmol_scal,
                                   cfg.nmol_scal)
+                log.write(" PROFILE SCALING (profil_scal_sub): HMOL_SCAL="
+                          f"{cfg.hmol_scal[:cfg.nmol_scal]!r} XMOL_SCAL="
+                          + " ".join(f"{x:.5E}" for x in
+                                     cfg.xmol_scal[:cfg.nmol_scal]) + "\n")
+                _log_layer_table(
+                    log, st.p, st.t, wkl, st.wbrodl, meta.nmol,
+                    "MODIFIED MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER")
             pwv, clw_col = integr(wkl, st.clw)
 
             # cross-section molecules (IATM=0 layer amounts;
