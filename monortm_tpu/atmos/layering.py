@@ -64,6 +64,16 @@ def expint(x1, x2, a):
     return x1 * (x2 / x1) ** a
 
 
+def expint_vec(x1, x2, a):
+    """expint over arrays (linear where either endpoint is 0)."""
+    x1 = np.asarray(x1, np.float64)
+    x2 = np.asarray(x2, np.float64)
+    lin = (x1 == 0.0) | (x2 == 0.0)
+    safe1 = np.where(lin, 1.0, x1)
+    safe2 = np.where(lin, 1.0, x2)
+    return np.where(lin, x1 + (x2 - x1) * a, safe1 * (safe2 / safe1) ** a)
+
+
 # ----------------------------------------------------------------------
 # profile construction
 # ----------------------------------------------------------------------
@@ -275,6 +285,169 @@ def convert_units(p, t, junit, wmol, nmol):
         else:
             raise ValueError(f"CONVRT: bad junit {ju}")
     return denm
+
+
+def _densat_vec(atemp, b):
+    """Vectorized saturation water density (lblatm.f90:4048)."""
+    c1, c2, c3 = 18.9766, -14.9595, -2.4388
+    return atemp * b * np.exp(c1 + c2 * atemp + c3 * atemp**2) * 1.0e-6
+
+
+def convert_units_vec(p, t, junit, wmol, nmol):
+    """Vectorized CONVRT + WATVAP over a level axis.
+
+    p, t: [L]; wmol: [L, >=nmol]; junit: dict k -> junit code, uniform
+    across levels (the fast path for machine-generated profiles — the
+    scalar `convert_units` remains the general/oracle path).
+    Returns denm [MXMOL, L].
+    """
+    p = np.asarray(p, np.float64)
+    t = np.asarray(t, np.float64)
+    L = len(p)
+    denm = np.zeros((MXMOL, L))
+    rhoair = cst.ALOSMT * (p / PZERO) * (TZERO / t)
+    a = TZERO / t
+    b1 = cst.AVOGAD / AMWT[0]
+    r1 = cst.AIRMWT / AMWT[0]
+
+    ju = junit.get(1, 10)
+    w = np.asarray(wmol[:, 0], np.float64)
+    if ju == 10:
+        w = w * 1.0e-6
+        denm[0] = (w / (1.0 + w)) * rhoair
+    elif ju == 11:
+        denm[0] = w
+    elif ju == 12:
+        w = w * r1 * 1.0e-3
+        denm[0] = (w / (1.0 + w)) * rhoair
+    elif ju == 13:
+        denm[0] = b1 * w * 1.0e-6
+    elif ju == 14:
+        denm[0] = cst.ALOSMT * (w / PZERO) * (TZERO / t)
+    elif ju == 15:
+        atd = TZERO / w
+        denm[0] = _densat_vec(atd, b1) * w / t
+    elif ju == 16:
+        atd = TZERO / (TZERO + w)
+        denm[0] = _densat_vec(atd, b1) * (TZERO + w) / t
+    elif ju == 17:
+        denm[0] = _densat_vec(a, b1) * (w / 100.0)
+    else:
+        raise ValueError(f"WATVAP: bad junit {ju}")
+
+    dryair = rhoair - denm[0]
+    for k in range(2, nmol + 1):
+        ju = junit.get(k, 10)
+        w = np.asarray(wmol[:, k - 1], np.float64)
+        b = cst.AVOGAD / AMWT[k - 1]
+        r = cst.AIRMWT / AMWT[k - 1]
+        if ju <= 10:
+            denm[k - 1] = w * dryair * 1.0e-6
+        elif ju == 11:
+            denm[k - 1] = w
+        elif ju == 12:
+            denm[k - 1] = r * w * 1.0e-3 * dryair
+        elif ju == 13:
+            denm[k - 1] = b * w * 1.0e-6
+        elif ju == 14:
+            denm[k - 1] = cst.ALOSMT * (w / PZERO) * (TZERO / t)
+        else:
+            raise ValueError(f"CONVRT: bad junit {ju}")
+    return denm
+
+
+def _lagrange4_idx(i2):
+    """4-point stencil base indices with the DEFALT boundary shifts: the
+    scalar code's i0<0 / i3>49 adjustments are equivalent to clipping the
+    centre to [2, 48]."""
+    base = np.clip(i2, 2, 48)
+    return base - 2, base - 1, base, base + 1
+
+
+def _lagrange4_weights(x, x0, x1, x2, x3):
+    a1 = (x - x1) * (x - x2) * (x - x3) / ((x0 - x1) * (x0 - x2) * (x0 - x3))
+    a2 = (x - x2) * (x - x3) * (x - x0) / ((x1 - x2) * (x1 - x3) * (x1 - x0))
+    a3 = (x - x3) * (x - x0) * (x - x1) / ((x2 - x3) * (x2 - x0) * (x2 - x1))
+    a4 = (x - x0) * (x - x1) * (x - x2) / ((x3 - x0) * (x3 - x1) * (x3 - x2))
+    return a1, a2, a3, a4
+
+
+def default_interp_z_vec(z, junitp, junitt, junit, nmol):
+    """Vectorized DEFALT over altitudes z [L] (uniform unit codes).
+
+    Returns (p [L] or None, t [L] or None, {k: [L]} overrides).
+    """
+    t = loader._load("mlatm")
+    alt = t["alt"]
+    z = np.asarray(z, np.float64)
+    if np.any(z > alt[49]):
+        raise ValueError("Z above 120 km with model defaults")
+    i2 = np.clip(np.searchsorted(alt, z, side="left"), 1, 49)
+    i0, i1, i2b, i3 = _lagrange4_idx(i2)
+    a1, a2, a3, a4 = _lagrange4_weights(z, alt[i0], alt[i1], alt[i2b],
+                                        alt[i3])
+
+    def val(prof):
+        prof = np.asarray(prof, np.float64)
+        return a1 * prof[i0] + a2 * prof[i1] + a3 * prof[i2b] + a4 * prof[i3]
+
+    p_out = t_out = None
+    if junitp <= 6:
+        p_out = np.exp(val(np.log(t["pmdl"][junitp - 1])))
+    if junitt <= 6:
+        t_out = val(t["tmdl"][junitt - 1])
+    wmol = {}
+    for k in range(1, nmol + 1):
+        ju = junit.get(k, 10)
+        if ju > 6:
+            continue
+        prof = t["amol"][ju - 1][k - 1] if k <= 7 else t["trac"][k - 8]
+        wmol[k] = val(prof)
+    return p_out, t_out, wmol
+
+
+def default_interp_p_vec(p, junitt, junit, nmol):
+    """Vectorized DEFALT_P over pressures p [L] (uniform unit codes)."""
+    t = loader._load("mlatm")
+    p = np.asarray(p, np.float64)
+    t_out = None
+    wmol = {}
+    need = set()
+    if junitt <= 6:
+        need.add(junitt)
+    for k in range(1, nmol + 1):
+        ju = junit.get(k, 10)
+        if ju <= 6:
+            need.add(ju)
+    for j_mdl in sorted(need):
+        pm = t["pmdl"][j_mdl - 1]              # descending
+        hits = p[:, None] >= pm[None, 1:50]
+        if not np.all(hits.any(axis=1)):
+            raise ValueError("P above model top")
+        i2 = np.argmax(hits, axis=1) + 1
+        # scalar DEFALT_P raises when p sits exactly on the top level
+        # (i3 > 49 and not p > pm[49]) — keep parity
+        if np.any((i2 == 49) & ~(p > pm[49])):
+            raise ValueError("P above model top")
+        i0, i1, i2b, i3 = _lagrange4_idx(i2)
+        lp = np.log(pm)
+        xlogp = np.log(p)
+        a1, a2, a3, a4 = _lagrange4_weights(xlogp, lp[i0], lp[i1],
+                                            lp[i2b], lp[i3])
+
+        def val(prof):
+            prof = np.asarray(prof, np.float64)
+            return (a1 * prof[i0] + a2 * prof[i1] + a3 * prof[i2b]
+                    + a4 * prof[i3])
+
+        if junitt == j_mdl:
+            t_out = val(t["tmdl"][j_mdl - 1])
+        for k in range(1, nmol + 1):
+            if junit.get(k, 10) != j_mdl:
+                continue
+            prof = t["amol"][j_mdl - 1][k - 1] if k <= 7 else t["trac"][k - 8]
+            wmol[k] = val(prof)
+    return t_out, wmol
 
 
 _JCHAR_MAP = {"1": 1, "2": 2, "3": 3, "4": 4, "5": 5, "6": 6,
@@ -1016,7 +1189,9 @@ class PathEngine:
         if im is None:
             raise ValueError("AMERGE: profile does not extend up to HMIN")
         zpth, pp, tp, rf = [], [], [], []
-        denp = []
+        # density columns are gathered vectorized after the merge walk:
+        # model levels record their index, interpolated points (jm, a)
+        den_src: list = []
         iphmid = 0
         iout = 0
         zmdl = prof.zmdl.copy()
@@ -1033,7 +1208,7 @@ class PathEngine:
                 pp.append(prof.pm[im])
                 tp.append(prof.tm[im])
                 rf.append(prof.rfndxm[im])
-                denp.append(prof.denm[:, im].copy())
+                den_src.append(im)
                 im += 1
             else:
                 z = zout_l[iout]
@@ -1044,9 +1219,7 @@ class PathEngine:
                 tp.append(prof.tm[jm - 1]
                           + (prof.tm[jm] - prof.tm[jm - 1]) * a)
                 rf.append(expint(prof.rfndxm[jm - 1], prof.rfndxm[jm], a))
-                denp.append(np.array(
-                    [expint(prof.denm[k, jm - 1], prof.denm[k, jm], a)
-                     for k in range(MXMOL)]))
+                den_src.append((jm, a))
                 iout += 1
             if abs(zpth[-1] - hmid) < tol:
                 if zpth[-1] != hmid:
@@ -1058,8 +1231,21 @@ class PathEngine:
                 zpth[-1] = zout_l[-1]
             if zpth[-1] == zout_l[-1]:
                 break
+
+        n = len(zpth)
+        denp = np.empty((MXMOL, n))
+        mod_cols = np.asarray([i for i, s in enumerate(den_src)
+                               if not isinstance(s, tuple)], np.int64)
+        if len(mod_cols):
+            src = np.asarray([den_src[i] for i in mod_cols], np.int64)
+            denp[:, mod_cols] = prof.denm[:, src]
+        for i, s in enumerate(den_src):
+            if isinstance(s, tuple):
+                jm, a = s
+                denp[:, i] = expint_vec(prof.denm[:, jm - 1],
+                                        prof.denm[:, jm], a)
         return (np.asarray(zpth), np.asarray(pp), np.asarray(tp),
-                np.asarray(rf), np.asarray(denp).T, zout, iphmid, h1, h2,
+                np.asarray(rf), denp, zout, iphmid, h1, h2,
                 hmid)
 
     def alayer(self, j, sinai, cosai, cpath, sh, gamma, iamt, zpth, pp, tp,
@@ -1260,6 +1446,28 @@ class PathEngine:
                 "sp": np.zeros(ipmax - 1)}
         from monortm_tpu import native as _native
         use_native = _native.available()
+
+        # whole-path native fast loop (SCALHT + ALAYER + angle
+        # bookkeeping in C++, one call per path)
+        nat_path = _native.rfpath_integrate(
+            zpth, pp, tp, rfndxp, denp, self.nmol, sinai, cosai, cpath,
+            self.re, DELTAS, GCAIR, iamt, theta, len_, iphmid) \
+            if use_native else None
+        if nat_path is not None:
+            nsums, sc = nat_path
+            sums["ppsum"] = nsums["ppsum"]
+            sums["tpsum"] = nsums["tpsum"]
+            sums["rhopsm"] = nsums["rhopsm"]
+            sums["sp"] = nsums["sp"]
+            sums["amtp"][:self.nmol] = nsums["amtp_nmol"]
+            s, beta, bendng = sc["s"], sc["beta"], sc["bendng"]
+            phi_j = sc["phi_j"]
+            phi_out = anglea if iorder == -1 else phi_j
+            return {"zpth": zpth, "pp": pp, "tp": tp, "zout": zout,
+                    "iphmid": iphmid, "sums": sums, "range": s,
+                    "beta": beta, "bendng": bendng, "hmid": hmid,
+                    "phi": phi_out}
+
         for j in range(ipmax - 1):
             sh, gamma = r.scalht(zpth[j], zpth[j + 1], rfndxp[j],
                                  rfndxp[j + 1])
@@ -1325,21 +1533,38 @@ class PathEngine:
         altz = np.zeros(nlay_max + 1)
 
         i2 = len(zpth) - 1
-        iout = 0
         pz[0] = pp[0]
         tz[0] = tp[0]
-        for ip in range(i2):
-            pbar[iout] += sums["ppsum"][ip]
-            tbar[iout] += sums["tpsum"][ip]
-            rhosum[iout] += sums["rhopsm"][ip]
-            sout[iout] += sums["sp"][ip]
-            amount[:, iout] += sums["amtp"][:, ip]
-            if zpth[ip + 1] == zout[iout + 1]:
-                pz[iout + 1] = pp[ip + 1]
-                tz[iout + 1] = tp[ip + 1]
-                iout += 1
-        if iout != ioutmx - 1:
-            raise RuntimeError("FPACK: IOUT mismatch")
+        # layer boundaries are exact members of zpth (amerge snaps them);
+        # locate them once and segment-sum with reduceat
+        q = np.searchsorted(zpth, np.asarray(zout[1:]))
+        vec_ok = (len(zpth) > 1 and np.all(np.diff(zpth) > 0)
+                  and np.all(q < len(zpth))
+                  and np.all(zpth[np.minimum(q, len(zpth) - 1)] == zout[1:])
+                  and q[-1] == i2)
+        if vec_ok:
+            starts = np.concatenate([[0], q[:-1]])
+            pbar[:] = np.add.reduceat(sums["ppsum"], starts)
+            tbar[:] = np.add.reduceat(sums["tpsum"], starts)
+            rhosum[:] = np.add.reduceat(sums["rhopsm"], starts)
+            sout[:] = np.add.reduceat(sums["sp"], starts)
+            amount[:, :] = np.add.reduceat(sums["amtp"], starts, axis=1)
+            pz[1:] = pp[q]
+            tz[1:] = tp[q]
+        else:
+            iout = 0
+            for ip in range(i2):
+                pbar[iout] += sums["ppsum"][ip]
+                tbar[iout] += sums["tpsum"][ip]
+                rhosum[iout] += sums["rhopsm"][ip]
+                sout[iout] += sums["sp"][ip]
+                amount[:, iout] += sums["amtp"][:, ip]
+                if zpth[ip + 1] == zout[iout + 1]:
+                    pz[iout + 1] = pp[ip + 1]
+                    tz[iout + 1] = tp[ip + 1]
+                    iout += 1
+            if iout != ioutmx - 1:
+                raise RuntimeError("FPACK: IOUT mismatch")
 
         amttot = amount.sum(axis=1)
         # the reference's iskip(7)=0 (lblatm.f90:5973) is immediately

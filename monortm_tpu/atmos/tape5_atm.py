@@ -19,7 +19,12 @@ from monortm_tpu.types import LayerState, ProfileMeta
 
 def _f(s: str) -> float:
     s = s.strip()
-    return float(s.replace("d", "e").replace("D", "E")) if s else 0.0
+    if not s:
+        return 0.0
+    try:
+        return float(s)
+    except ValueError:      # Fortran d-exponents
+        return float(s.replace("d", "e").replace("D", "E"))
 
 
 def _i(s: str) -> int:
@@ -38,40 +43,139 @@ class AtmRecordReader:
         return line
 
 
+def _fw_floats(lines: list[str], width: int, nfields: int) -> np.ndarray:
+    """Fixed-width float fields for a batch of lines -> [n, nfields].
+
+    Vectorized over lines (np.char); blank fields are 0.0 and Fortran
+    d/D exponents are honoured — identical semantics to `_f`.
+    """
+    total = width * nfields
+    a = np.array([ln[:total].ljust(total) for ln in lines],
+                 dtype=f"S{total}")
+    f = a.view(f"S{width}").reshape(len(lines), nfields)
+    f = np.char.strip(f)
+    f = np.where(f == b"", b"0", f)
+    try:
+        return f.astype(np.float64)
+    except ValueError:
+        f = np.char.replace(np.char.replace(f, b"D", b"E"), b"d", b"e")
+        return f.astype(np.float64)
+
+
 def parse_user_profile(rd: AtmRecordReader, nmol: int, immax_b: int,
                        ref_lat: float, re: float) -> lay.ModelProfile:
-    """NSMDL + RDUNIT loop (lblatm.f90:3044-3401)."""
+    """NSMDL + RDUNIT loop (lblatm.f90:3044-3401).
+
+    Levels with uniform unit codes (the overwhelmingly common case — one
+    radiosonde format per file) take a fully vectorized path over the
+    level axis; mixed-unit profiles fall back to the per-level scalar
+    walk, which remains the semantic oracle (tests/test_atmos.py)."""
+    immax = abs(immax_b)
+    nrows = -(-nmol // 8)
+    # records alternate 3.5 / (nrows x 3.6) with fixed stride: slice
+    # instead of looping rd.next()
+    step = 1 + nrows
+    blk = rd.lines[rd.pos:rd.pos + immax * step]
+    rd.pos += immax * step
+    l35 = [ln.ljust(80) for ln in blk[0::step]]
+    l36 = [blk[i * step + 1:(i + 1) * step] for i in range(immax)]
+
+    # group levels by unit-code signature (jcharp/jchart/jlong/jchar):
+    # each group takes the fully vectorized path.  Real files have 1-3
+    # groups (e.g. radiosonde levels + model-default extension levels).
+    keys = [ln[35:37] + ln[38:39] + ln[40:40 + nmol] for ln in l35]
+    groups: dict[str, list[int]] = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(k, []).append(i)
+
+    zmdl = np.zeros(immax)
+    pm = np.zeros(immax)
+    tm = np.zeros(immax)
+    denm = np.zeros((lay.MXMOL, immax))
+
+    zpt_all = _fw_floats(l35, 10, 3)
+    zmdl[:] = zpt_all[:, 0]
+
+    for key, idx in groups.items():
+        r0 = l35[idx[0]]
+        junitp = lay.jou(r0[35:36])
+        junitt = lay.jou(r0[36:37])
+        jlong = r0[38:39]
+        junit = {k + 1: lay.jou(r0[40 + k]) for k in range(nmol)}
+
+        idx = np.asarray(idx)
+        z = zmdl[idx]
+        p = zpt_all[idx, 1]
+        t = zpt_all[idx, 2]
+        fmt_w = 15 if jlong == "L" else 10
+        flat36 = [ln for i in idx for ln in l36[i]]
+        wmol = _fw_floats(flat36, fmt_w, 8).reshape(len(idx),
+                                                    nrows * 8)[:, :nmol]
+        wmol = np.ascontiguousarray(wmol)
+
+        p = lay.check_pt(p, junitp, 1)
+        t = np.asarray(lay.check_pt(t, junitt, 2), np.float64)
+
+        # model-atmosphere defaults (DEFALT / DEFALT_P), vectorized
+        if immax_b < 0:
+            t_d, wmol_d = lay.default_interp_p_vec(p, junitt, junit, nmol)
+        else:
+            p_d, t_d, wmol_d = lay.default_interp_z_vec(z, junitp, junitt,
+                                                        junit, nmol)
+            if junitp <= 6 and p_d is not None:
+                p = p_d
+        if junitt <= 6 and t_d is not None:
+            t = t_d
+        for k, v in wmol_d.items():
+            wmol[:, k - 1] = v
+            junit[k] = 10
+
+        denm[:, idx] = lay.convert_units_vec(p, t, junit, wmol, nmol)
+        pm[idx] = np.asarray(p, np.float64)
+        tm[idx] = t
+
+    denw = denm[0].copy()
+    if immax_b < 0:
+        zmdl = lay.cmpalt(pm, tm, denw, zmdl[0], ref_lat, re)
+    if np.any(np.diff(zmdl) <= 0):
+        raise ValueError("input altitudes not in ascending order")
+    return lay.ModelProfile(zmdl=zmdl, pm=pm, tm=tm, denm=denm, denw=denw,
+                            hmod="")
+
+
+def _parse_user_profile_scalar(l35, l36, nmol, immax_b, ref_lat,
+                               re) -> lay.ModelProfile:
+    """Per-level RDUNIT walk (mixed-unit profiles; also the oracle the
+    vectorized path is tested against)."""
     immax = abs(immax_b)
     zmdl = np.zeros(immax)
     pm = np.zeros(immax)
     tm = np.zeros(immax)
     denm = np.zeros((lay.MXMOL, immax))
-    hmod = ""
     for im in range(immax):
         # record 3.5: (3E10.3,5X,2A1,1X,A1,1X,39A1)
-        r = rd.next().ljust(80)
+        r = l35[im]
         zm = _f(r[0:10])
         p = _f(r[10:20])
         t = _f(r[20:30])
         jcharp = r[35:36]
         jchart = r[36:37]
         jlong = r[38:39]
-        jchar = {k + 1: (r[40 + k] if 40 + k < len(r) else " ")
-                 for k in range(39)}
         junitp = lay.jou(jcharp)
         junitt = lay.jou(jchart)
-        junit = {k: lay.jou(c) for k, c in jchar.items()}
+        # only molecules 1..nmol are consumed downstream
+        junit = {k + 1: lay.jou(r[40 + k]) for k in range(nmol)}
 
         # record 3.6: wmol
         wmol = {}
         fmt_w, per_row = (15, 8) if jlong == "L" else (10, 8)
         got = 0
-        while got < nmol:
-            r = rd.next().ljust(per_row * fmt_w)
+        for rrow in l36[im]:
+            rrow = rrow.ljust(per_row * fmt_w)
             for kk in range(per_row):
                 if got >= nmol:
                     break
-                wmol[got + 1] = _f(r[kk * fmt_w:(kk + 1) * fmt_w])
+                wmol[got + 1] = _f(rrow[kk * fmt_w:(kk + 1) * fmt_w])
                 got += 1
 
         p = lay.check_pt(p, junitp, 1)
@@ -104,7 +208,7 @@ def parse_user_profile(rd: AtmRecordReader, nmol: int, immax_b: int,
     if np.any(np.diff(zmdl) <= 0):
         raise ValueError("input altitudes not in ascending order")
     return lay.ModelProfile(zmdl=zmdl, pm=pm, tm=tm, denm=denm, denw=denw,
-                            hmod=hmod)
+                            hmod="")
 
 
 def _pbnd_to_zbnd(pbnd, prof: lay.ModelProfile, ref_lat, re):
@@ -341,17 +445,42 @@ def atmpth(rest: list[str], v1: float, v2: float, ixsect: int = 0,
                    xamnt=xamnt, xsname=xsname, ityl=ityl)
 
 
-def profiles_from_tape5(filein, cfg) -> list[Profile]:
-    """All '$'-stacked IATM=1 profiles of a MONORTM.IN file."""
+def _atmpth_block(args):
+    rest, v1, v2, ixsect, fdir = args
+    return atmpth(rest, v1, v2, ixsect=ixsect, fscdxs_dir=fdir)
+
+
+def profiles_from_tape5(filein, cfg, workers: int | None = None
+                        ) -> list[Profile]:
+    """All '$'-stacked IATM=1 profiles of a MONORTM.IN file.
+
+    workers=None auto-parallelises the per-profile layering across CPU
+    cores for large stacked runs (the 10k-radiosonde input-pipeline case,
+    SURVEY.md section 7); profiles are independent, order is preserved.
+    """
+    import os
     from pathlib import Path
     from monortm_tpu.io.tape5 import Tape5Reader
     rd = Tape5Reader(filein)
-    out = []
+    blocks = []
     while not rd.at_end():
-        blk = rd.read_block()
-        out.append(atmpth(blk.rest, blk.v1, blk.v2, ixsect=blk.ixsect,
-                          fscdxs_dir=Path(filein).parent))
-    return out
+        blocks.append(rd.read_block())
+    fdir = Path(filein).parent
+    args = [(blk.rest, blk.v1, blk.v2, blk.ixsect, fdir) for blk in blocks]
+
+    if workers is None:
+        ncpu = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") \
+            else (os.cpu_count() or 1)
+        # fan out only when there are enough cores for the pool overhead
+        # to pay off (on <=2-core hosts single-process wins)
+        workers = 1 if (len(blocks) < 256 or ncpu < 4) else min(ncpu, 16)
+    if workers <= 1 or len(blocks) < 2 * workers:
+        return [_atmpth_block(a) for a in args]
+
+    from concurrent.futures import ProcessPoolExecutor
+    chunk = max(1, len(args) // (4 * workers))
+    with ProcessPoolExecutor(workers) as ex:
+        return list(ex.map(_atmpth_block, args, chunksize=chunk))
 
 
 def xamnts(rd: AtmRecordReader, prof: lay.ModelProfile,

@@ -76,29 +76,34 @@ class Tape5Reader:
     def __init__(self, path: str | Path):
         self.lines = Path(path).read_text().splitlines()
         self.pos = 0
+        # block boundaries precomputed once ('$' starts / '%' terminator,
+        # monortm_sub.F90:139-142) — avoids rescanning per stacked block
+        self._marks = [(i, s[0]) for i, s in enumerate(self.lines)
+                       if s[:1] in ("$", "%")]
+        self._mark_pos = [m[0] for m in self._marks]
 
     def _next(self) -> str:
         line = self.lines[self.pos]
         self.pos += 1
         return line
 
+    def _next_mark(self, pos: int):
+        import bisect
+        i = bisect.bisect_left(self._mark_pos, pos)
+        return self._marks[i] if i < len(self._marks) else None
+
     def at_end(self) -> bool:
-        # '%' terminates (monortm_sub.F90:139-142)
-        for k in range(self.pos, len(self.lines)):
-            s = self.lines[k]
-            if s.startswith("$"):
-                return False
-            if s.startswith("%"):
-                return True
-        return True
+        m = self._next_mark(self.pos)
+        return m is None or m[1] == "%"
 
     def read_block(self) -> Tape5Config:
         """Parse one $-record block (records 1.1-1.4 + trailing 2.x/3.x)."""
-        # record 1.1: scan for '$'
-        while True:
-            line = self._next()
-            if line.startswith("$"):
-                break
+        # record 1.1: jump to the next '$'
+        m = self._next_mark(self.pos)
+        if m is None or m[1] != "$":
+            raise ValueError("no '$' record found")
+        self.pos = m[0]
+        line = self._next()
         cfg = Tape5Config(xid=line[1:81].strip())
 
         # record 1.2: (4X,I1,9X,I1,9X,I1,14X,I1,9X,I1,14X,I1,4X,I1,16X,I4,I4)
@@ -217,15 +222,9 @@ class Tape5Reader:
                 raise ValueError("BNDRFL outside physical range")
 
         # collect the rest of this block (records 2.x/3.x for LBLATM)
-        rest = []
-        k = self.pos
-        while k < len(self.lines):
-            s = self.lines[k]
-            if s.startswith("$") or s.startswith("%"):
-                break
-            rest.append(s)
-            k += 1
-        cfg.rest = rest
+        m = self._next_mark(self.pos)
+        end = m[0] if m is not None else len(self.lines)
+        cfg.rest = self.lines[self.pos:end]
         return cfg
 
 

@@ -69,6 +69,20 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p,
     ]
+    try:
+        lib.rfpath_integrate.restype = None
+        lib.rfpath_integrate.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+    except AttributeError:     # stale .so without the symbol
+        pass
     _LIB = lib
     return lib
 
@@ -162,3 +176,37 @@ def alayer_integrate(z1, z2, pa, pb, ta, tb, dena, denb, nmol, sinai,
     sums["rhopsm"][j] = rps.value
     sums["amtp"][:nmol, j] = amtp
     return sin_io.value, cos_io.value, s, bend.value
+
+
+def rfpath_integrate(zpth, pp, tp, rfndx, denp, nmol, sinai, cosai, cpath,
+                     re, deltas, gcair, iamt, theta, len1, iphmid):
+    """Native full-path RFPATH loop; returns (sums dict, scalars dict)
+    or None when the library (or symbol) is unavailable.
+
+    denp: [MXMOL, ipmax]; only the first nmol rows are integrated.
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "rfpath_integrate"):
+        return None
+    zpth = np.ascontiguousarray(zpth, np.float64)
+    pp = np.ascontiguousarray(pp, np.float64)
+    tp = np.ascontiguousarray(tp, np.float64)
+    rfndx = np.ascontiguousarray(rfndx, np.float64)
+    ipmax = len(zpth)
+    denp_t = np.ascontiguousarray(denp[:nmol, :ipmax].T, np.float64)
+    ppsum = np.zeros(ipmax - 1)
+    tpsum = np.zeros(ipmax - 1)
+    rhopsm = np.zeros(ipmax - 1)
+    sp = np.zeros(ipmax - 1)
+    amtp_t = np.zeros((ipmax - 1, nmol))
+    out = np.zeros(6)
+    lib.rfpath_integrate(
+        _ptr(zpth), _ptr(pp), _ptr(tp), _ptr(rfndx), _ptr(denp_t),
+        nmol, ipmax, sinai, cosai, cpath, re, deltas, gcair, iamt,
+        theta, len1, iphmid,
+        _ptr(ppsum), _ptr(tpsum), _ptr(rhopsm), _ptr(amtp_t), _ptr(sp),
+        _ptr(out))
+    sums = {"ppsum": ppsum, "tpsum": tpsum, "rhopsm": rhopsm, "sp": sp}
+    sums["amtp_nmol"] = amtp_t.T
+    return sums, {"s": out[0], "beta": out[1], "bendng": out[2],
+                  "phi_j": out[3], "sinai": out[4], "cosai": out[5]}

@@ -378,4 +378,69 @@ double alayer_integrate(
   }
 }
 
+// ---------------------------------------------------------------------
+// 3. rfpath_integrate: the full RFPATH segment loop (lblatm.f90:5030-5105)
+//    — SCALHT per interval, ALAYER integration, bending/zenith-angle
+//    bookkeeping, and the LEN=1 tangent doubling.  One call per path
+//    replaces O(levels) ctypes round trips.
+//
+//    zpth/pp/tp/rfndx: [ipmax]; denp: [ipmax, nmol] row-major.
+//    Outputs: ppsum/tpsum/rhopsm/sp [ipmax-1] (zero-initialised by the
+//    caller), amtp [ipmax-1, nmol] row-major, out[6] =
+//    {s, beta, bendng, phi_j, sinai, cosai}.
+// ---------------------------------------------------------------------
+
+void rfpath_integrate(
+    const double* zpth, const double* pp, const double* tp,
+    const double* rfndx, const double* denp, int64_t nmol, int64_t ipmax,
+    double sinai, double cosai, double cpath, double re, double deltas,
+    double gcair, int iamt, double theta, int len1, int64_t iphmid,
+    double* ppsum, double* tpsum, double* rhopsm, double* amtp, double* sp,
+    double* out) {
+  const double DEG = 180.0 / M_PI;
+  double s = 0.0, beta = 0.0, bendng = 0.0, phi_j = 0.0;
+  for (int64_t j = 0; j + 1 < ipmax; ++j) {
+    // SCALHT (lblatm.f90:4856)
+    const double rf1 = rfndx[j] + 1.0e-20;
+    const double rf2 = rfndx[j + 1] + 1.0e-20;
+    const double ratio = rf1 / rf2;
+    double sh, gamma;
+    if (std::fabs(ratio - 1.0) < 1.0e-5) {
+      sh = 0.0;
+      gamma = rfndx[j];
+    } else {
+      sh = (zpth[j + 1] - zpth[j]) / std::log(ratio);
+      gamma = rf1 * std::pow(rf2 / rf1,
+                             -zpth[j] / (zpth[j + 1] - zpth[j]));
+    }
+    double bend = 0.0;
+    const double ds = alayer_integrate(
+        zpth[j], zpth[j + 1], pp[j], pp[j + 1], tp[j], tp[j + 1],
+        denp + j * nmol, denp + (j + 1) * nmol, nmol, &sinai, &cosai,
+        cpath, sh, gamma, re, deltas, gcair, iamt, &ppsum[j], &tpsum[j],
+        &rhopsm[j], amtp + j * nmol, &bend);
+    sp[j] = ds;
+    bend *= DEG;
+    double sc = sinai < -1.0 ? -1.0 : (sinai > 1.0 ? 1.0 : sinai);
+    phi_j = std::asin(sc) * DEG;
+    const double dbeta = theta - phi_j + bend;
+    phi_j = 180.0 - phi_j;
+    s += ds;
+    bendng += bend;
+    beta += dbeta;
+    theta = 180.0 - phi_j;
+    if (len1 == 1 && (j + 2) == iphmid) {
+      bendng *= 2.0;
+      beta *= 2.0;
+      s *= 2.0;
+    }
+  }
+  out[0] = s;
+  out[1] = beta;
+  out[2] = bendng;
+  out[3] = phi_j;
+  out[4] = sinai;
+  out[5] = cosai;
+}
+
 }  // extern "C"
