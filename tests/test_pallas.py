@@ -143,3 +143,49 @@ def test_pallas_compiles_at_bench_shapes():
     od = jax.jit(lambda s: m.line_od_pallas(s, scor))(state)
     od.block_until_ready()
     assert np.all(np.isfinite(np.asarray(od)))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="capacity check needs a TPU")
+def test_pallas_capacity_250k_lines_8k_wn():
+    """Reference design capacity (250k lines/molecule, lnfl_mod.f90:5;
+    NWN<=80000, RTMmono.f90:10): a 250k-line catalog against an 8192-point
+    microwave grid must fit in memory, and the block-sparse candidate
+    pruning must make the sweep sub-linear in far lines."""
+    rng = np.random.default_rng(11)
+    n = 250_000
+    from monortm_tpu.io.tape3 import RawLines
+    from monortm_tpu.lines import group, pack, resolve
+
+    nu = np.sort(rng.uniform(0.5, 3000.0, n))
+    raw = RawLines(
+        vnu=nu,
+        sp=10 ** rng.uniform(-27, -23, n).astype(np.float32),
+        alfa=rng.uniform(0.04, 0.1, n).astype(np.float32),
+        epp=rng.uniform(0, 700, n).astype(np.float32),
+        mol=(1 + 100 * 1) * np.ones(n, np.int32),
+        hwhm=rng.uniform(0.3, 0.5, n).astype(np.float32),
+        tmpalf=rng.uniform(0.6, 0.8, n).astype(np.float32),
+        pshift=rng.uniform(-0.02, 0.02, n).astype(np.float32),
+        iflg=np.zeros(n, np.int32),
+        brd_mol_flg=np.zeros((n, 7), np.int32),
+        brd_mol_hw=np.zeros((n, 7), np.float32),
+        brd_mol_tmp=np.zeros((n, 7), np.float32),
+        brd_mol_shft=np.zeros((n, 7), np.float32),
+        speed_dep=np.zeros(n, np.float32),
+    )
+    cat = pack(resolve(group(raw)), tile=512)
+
+    wn = np.linspace(0.3, 55.0, 8192)
+    m = ODModel(wn, dvset=float(wn[1] - wn[0]), catalog=cat, nmol=22,
+                dtype=jnp.float32, use_pallas=True)
+    # sub-linearity: the MW grid reaches only ~80/3000 of the catalog
+    n_tiles = m.pallas_cat["mol"].shape[0] // m.pallas_nt
+    n_cand = m.pallas_cand_map.shape[1]
+    assert n_cand < n_tiles / 5, (n_cand, n_tiles)
+
+    state = synthetic_state(nlay=40)
+    scor = jnp.ones((40, 39 * 9), jnp.float32)
+    od = jax.jit(lambda s: m.line_od_pallas(s, scor))(state)
+    od.block_until_ready()
+    assert np.all(np.isfinite(np.asarray(od)))
