@@ -441,8 +441,12 @@ def atmpth(rest: list[str], v1: float, v2: float, ixsect: int = 0,
         clw=np.zeros(nlay))
     meta = ProfileMeta(nmol=nmol, angle=geo["angle"], h1=geo["h1"],
                        h2=geo["h2"], altz=res.altz, pz=res.pz)
+    path = {"range": float(trace["range"]), "beta": float(trace["beta"]),
+            "bendng": float(trace["bendng"]), "phi": float(trace["phi"]),
+            "hmin": float(geo["hmin"]), "len": int(geo["len"]),
+            "airtot": float(trace["sums"]["rhopsm"].sum() * 1.0e5)}
     return Profile(state=state, meta=meta, hmod=prof.hmod,
-                   xamnt=xamnt, xsname=xsname, ityl=ityl)
+                   xamnt=xamnt, xsname=xsname, ityl=ityl, path=path)
 
 
 def _atmpth_block(args):

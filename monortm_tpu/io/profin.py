@@ -38,6 +38,8 @@ class Profile:
     xamnt: np.ndarray | None = None     # [n_xsec_mol, nlay] if IXSECT
     xsname: list | None = None
     ityl: np.ndarray | None = None      # ITYL DV-ratio codes (IFXTYP)
+    path: dict | None = None            # ray-trace summary for the LOG
+                                        # (lblatm.f90:1219-1244 info class)
 
 
 class ProfInReader:

@@ -127,12 +127,17 @@ class ODModel:
         self.win_tiles = gather_tiles(self._win_rows) \
             if self._win_rows is not None else None
 
-        # candidate windowed tiles per wavenumber tile (host, static)
+        # candidate windowed tiles per wavenumber tile (host, static);
+        # margin covers pressure shifts so a shifted line centre at a
+        # tile edge cannot be pruned while inside the 25 cm^-1 window
         if self._win_rows is not None:
             rows, mask = self._win_rows
+            margin = 25.0
+            if len(catalog.pshift):
+                margin += 2.0 * float(np.max(np.abs(catalog.pshift)))
             nu = np.where(mask, catalog.nu0[rows], np.nan)
-            lo = np.nanmin(nu, axis=1) - 25.0
-            hi = np.nanmax(nu, axis=1) + 25.0
+            lo = np.nanmin(nu, axis=1) - margin
+            hi = np.nanmax(nu, axis=1) + margin
             cands = []
             for wt in self.wn_tiles:
                 w = wt[wt < 9.0e5]

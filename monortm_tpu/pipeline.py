@@ -246,6 +246,17 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             st, meta = prof.state, prof.meta
             wkl = st.wkl
             log.write(f"1 PROFILE {npr0}\n")
+            if getattr(prof, "path", None):
+                # LBLATM path summary (lblatm.f90:1243-1244, format 968)
+                pa = prof.path
+                log.write(
+                    f" PATH: MODEL={prof.hmod or '(user)':24s} "
+                    f"H1={meta.h1:10.3f} H2={meta.h2:10.3f} "
+                    f"ANGLE={meta.angle:10.3f} RANGE={pa['range']:10.3f} "
+                    f"BETA={pa['beta']:10.3f} PHI={pa['phi']:10.3f} "
+                    f"HMIN={pa['hmin']:10.3f} BENDING={pa['bendng']:10.5f} "
+                    f"LEN={pa['len']:d} "
+                    f"AIRTOT={pa['airtot']:11.4E}\n")
             _log_layer_table(log, st.p, st.t, wkl, st.wbrodl, meta.nmol,
                              "MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER")
             if cfg.nmol_scal > 0:
