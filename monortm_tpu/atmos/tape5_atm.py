@@ -446,7 +446,8 @@ def atmpth(rest: list[str], v1: float, v2: float, ixsect: int = 0,
             "hmin": float(geo["hmin"]), "len": int(geo["len"]),
             "airtot": float(trace["sums"]["rhopsm"].sum() * 1.0e5)}
     return Profile(state=state, meta=meta, hmod=prof.hmod,
-                   xamnt=xamnt, xsname=xsname, ityl=ityl, path=path)
+                   xamnt=xamnt, xsname=xsname, ityl=ityl, path=path,
+                   ipunch=ipunch)
 
 
 def _atmpth_block(args):

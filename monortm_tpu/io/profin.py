@@ -40,6 +40,7 @@ class Profile:
     ityl: np.ndarray | None = None      # ITYL DV-ratio codes (IFXTYP)
     path: dict | None = None            # ray-trace summary for the LOG
                                         # (lblatm.f90:1219-1244 info class)
+    ipunch: int = 0                     # record 3.1 IPUNCH: write TAPE7
 
 
 class ProfInReader:

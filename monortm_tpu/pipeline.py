@@ -202,6 +202,14 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         # '$'-recycling runs can differ; trust the parsed list
         nprof = len(profiles)
 
+    # TAPE7 (IPUNCH=1 on record 3.1, lblatm.f90:1264-1340): the layering
+    # output in MONORTM_PROF.IN-compatible form — the reference's
+    # checkpoint artifact for IATM=0 re-runs
+    punched = [p for p in profiles if getattr(p, "ipunch", 0) == 1]
+    if punched:
+        from monortm_tpu.io.tape7 import write_tape7
+        write_tape7(Path(outdir) / "TAPE7", punched, xid=cfg.xid)
+
     model_cache: dict[int, MonoRTM] = {}
     out = RunResult(wn=wn, tb=[], rad=[], results=[])
     writer = OutputWriter(Path(outdir) / fileout)

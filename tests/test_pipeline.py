@@ -133,3 +133,33 @@ def test_full_run_matches_numpy(rundir):
     np.testing.assert_allclose(float(row[1]),
                                wn[0] * cst.CLIGHT / 1e9, rtol=1e-4)
     np.testing.assert_allclose(float(row[2]), tb[0], rtol=1e-4)
+
+
+def test_ipunch_writes_tape7(tmp_path):
+    from pathlib import Path
+    """IPUNCH=1 on record 3.1 produces a TAPE7 usable as MONORTM_PROF.IN
+    (lblatm.f90:1264-1340; README.md:52 checkpoint round-trip)."""
+    import shutil
+    import jax.numpy as jnp
+    from monortm_tpu.io.profin import read_profiles
+    from monortm_tpu.pipeline import run
+
+    src = Path("/root/reference/run/in/MONORTM.IN_MDL_ATM_dn").read_text()
+    lines = src.splitlines()
+    # find record 3.1 (first record after 1.4 in the $ block) and set
+    # IPUNCH (cols 31-35)
+    for i, ln in enumerate(lines):
+        f = ln.split()
+        if len(f) >= 7 and f[0] in "0123456" and ln[:5].strip().isdigit():
+            r = ln.ljust(40)
+            lines[i] = r[:30] + "    1" + r[35:]
+            break
+    (tmp_path / "MONORTM.IN").write_text("\n".join(lines) + "\n")
+    run(filein=tmp_path / "MONORTM.IN",
+        hfile=Path(__file__).parent / "goldens" / "TAPE3_synthetic",
+        outdir=tmp_path, dtype=jnp.float64)
+    t7 = tmp_path / "TAPE7"
+    assert t7.exists()
+    profs = read_profiles(t7)
+    assert len(profs) == 1
+    assert profs[0].state.p.shape[0] > 5
