@@ -1180,10 +1180,19 @@ class PathEngine:
         zout = np.asarray(zout)
         ioutmx = len(zout)
 
-        # merge zout with zmdl into zpth
+        # merge zout with zmdl into zpth.  The walk is a scalar
+        # recurrence (tolerance snaps cascade into later comparisons) so
+        # it stays a loop — but over Python-float lists: list indexing
+        # and float arithmetic are ~10x faster than ndarray scalar
+        # indexing, and this loop dominates host layering time.
+        immax = prof.immax
+        zmdl_l = prof.zmdl.tolist()
+        pm_l = prof.pm.tolist()
+        tm_l = prof.tm.tolist()
+        rfndx_l = prof.rfndxm.tolist()
         im = None
-        for i in range(prof.immax):
-            if prof.zmdl[i] >= hmin:
+        for i, zi in enumerate(zmdl_l):
+            if zi >= hmin:
                 im = i
                 break
         if im is None:
@@ -1194,31 +1203,30 @@ class PathEngine:
         den_src: list = []
         iphmid = 0
         iout = 0
-        zmdl = prof.zmdl.copy()
-        zout_l = list(zout)
+        zout_l = zout.tolist()
         while True:
-            if im <= prof.immax - 1 and iout <= ioutmx - 1:
-                if abs(zout_l[iout] - zmdl[im]) < tol:
-                    zmdl[im] = zout_l[iout]
-            if im <= prof.immax - 1 and \
-                    (iout > ioutmx - 1 or zout_l[iout] >= zmdl[im]):
-                if iout <= ioutmx - 1 and zout_l[iout] == zmdl[im]:
+            if im <= immax - 1 and iout <= ioutmx - 1:
+                if abs(zout_l[iout] - zmdl_l[im]) < tol:
+                    zmdl_l[im] = zout_l[iout]
+            if im <= immax - 1 and \
+                    (iout > ioutmx - 1 or zout_l[iout] >= zmdl_l[im]):
+                if iout <= ioutmx - 1 and zout_l[iout] == zmdl_l[im]:
                     iout += 1
-                zpth.append(zmdl[im])
-                pp.append(prof.pm[im])
-                tp.append(prof.tm[im])
-                rf.append(prof.rfndxm[im])
+                zpth.append(zmdl_l[im])
+                pp.append(pm_l[im])
+                tp.append(tm_l[im])
+                rf.append(rfndx_l[im])
                 den_src.append(im)
                 im += 1
             else:
                 z = zout_l[iout]
                 jm = max(im, 1)
-                a = (z - zmdl[jm - 1]) / (zmdl[jm] - zmdl[jm - 1])
+                a = (z - zmdl_l[jm - 1]) / (zmdl_l[jm] - zmdl_l[jm - 1])
                 zpth.append(z)
-                pp.append(expint(prof.pm[jm - 1], prof.pm[jm], a))
-                tp.append(prof.tm[jm - 1]
-                          + (prof.tm[jm] - prof.tm[jm - 1]) * a)
-                rf.append(expint(prof.rfndxm[jm - 1], prof.rfndxm[jm], a))
+                pp.append(expint(pm_l[jm - 1], pm_l[jm], a))
+                tp.append(tm_l[jm - 1]
+                          + (tm_l[jm] - tm_l[jm - 1]) * a)
+                rf.append(expint(rfndx_l[jm - 1], rfndx_l[jm], a))
                 den_src.append((jm, a))
                 iout += 1
             if abs(zpth[-1] - hmid) < tol:

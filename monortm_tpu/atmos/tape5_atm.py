@@ -50,8 +50,10 @@ def _fw_floats(lines: list[str], width: int, nfields: int) -> np.ndarray:
     d/D exponents are honoured — identical semantics to `_f`.
     """
     total = width * nfields
-    a = np.array([ln[:total].ljust(total) for ln in lines],
-                 dtype=f"S{total}")
+    # S-dtype conversion truncates long lines and null-pads short ones;
+    # null-padded tail fields extract as b"" exactly like space-padded
+    # ones after strip, so no per-line ljust loop is needed
+    a = np.asarray(lines, dtype=f"S{total}")
     f = a.view(f"S{width}").reshape(len(lines), nfields)
     f = np.char.strip(f)
     f = np.where(f == b"", b"0", f)
