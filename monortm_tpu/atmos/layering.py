@@ -1182,9 +1182,27 @@ class PathEngine:
 
         # merge zout with zmdl into zpth.  The walk is a scalar
         # recurrence (tolerance snaps cascade into later comparisons) so
-        # it stays a loop — but over Python-float lists: list indexing
-        # and float arithmetic are ~10x faster than ndarray scalar
-        # indexing, and this loop dominates host layering time.
+        # it stays a loop; the C++ native kernel runs it when available
+        # (bit-identical — same expint/pow and snap order), with the
+        # Python-float-list walk below as the fallback and oracle.
+        from monortm_tpu import native
+        nat = native.amerge_walk(prof.zmdl, prof.pm, prof.tm, prof.rfndxm,
+                                 zout, hmin, hmid, tol)
+        if nat is not None:
+            (zpth_n, pp_n, tp_n, rf_n, src_im, src_jm, src_a,
+             iphmid, hmid) = nat
+            n = len(zpth_n)
+            denp = np.empty((MXMOL, n))
+            mod = src_im >= 0
+            if mod.any():
+                denp[:, mod] = prof.denm[:, src_im[mod]]
+            for i in np.nonzero(~mod)[0]:
+                jm, a = int(src_jm[i]), src_a[i]
+                denp[:, i] = expint_vec(prof.denm[:, jm - 1],
+                                        prof.denm[:, jm], a)
+            return (zpth_n, pp_n, tp_n, rf_n, denp, zout, iphmid, h1, h2,
+                    hmid)
+
         immax = prof.immax
         zmdl_l = prof.zmdl.tolist()
         pm_l = prof.pm.tolist()

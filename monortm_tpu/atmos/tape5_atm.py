@@ -85,10 +85,11 @@ def parse_user_profile(rd: AtmRecordReader, nmol: int, immax_b: int,
     # group levels by unit-code signature (jcharp/jchart/jlong/jchar):
     # each group takes the fully vectorized path.  Real files have 1-3
     # groups (e.g. radiosonde levels + model-default extension levels).
-    keys = [ln[35:37] + ln[38:39] + ln[40:40 + nmol] for ln in l35]
-    groups: dict[str, list[int]] = {}
-    for i, k in enumerate(keys):
-        groups.setdefault(k, []).append(i)
+    keys = np.asarray([ln[35:37] + ln[38:39] + ln[40:40 + nmol]
+                       for ln in l35])
+    uniq, inv = np.unique(keys, return_inverse=True)
+    groups = {str(u): np.nonzero(inv == i)[0].tolist()
+              for i, u in enumerate(uniq)}
 
     zmdl = np.zeros(immax)
     pm = np.zeros(immax)

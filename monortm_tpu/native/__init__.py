@@ -83,6 +83,19 @@ def _load():
         ]
     except AttributeError:     # stale .so without the symbol
         pass
+    try:
+        lib.amerge_walk.restype = ctypes.c_int64
+        lib.amerge_walk.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+    except AttributeError:     # stale .so without the symbol
+        pass
     _LIB = lib
     return lib
 
@@ -210,3 +223,43 @@ def rfpath_integrate(zpth, pp, tp, rfndx, denp, nmol, sinai, cosai, cpath,
     sums["amtp_nmol"] = amtp_t.T
     return sums, {"s": out[0], "beta": out[1], "bendng": out[2],
                   "phi_j": out[3], "sinai": out[4], "cosai": out[5]}
+
+
+def amerge_walk(zmdl, pm, tm, rfndx, zout, hmin, hmid, tol):
+    """Native AMERGE merge walk (lblatm.f90:5190-5285).
+
+    Returns (zpth, pp, tp, rf, src_im, src_jm, src_a, iphmid, hmid) or
+    None when the library (or symbol) is unavailable; raises ValueError
+    when the profile does not extend up to hmin.  src_im[i] is the model
+    level index of path point i, or -1 for interpolated points, whose
+    (jm, a) are in src_jm/src_a — the caller gathers density columns
+    from these, exactly like the Python walk.
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "amerge_walk"):
+        return None
+    zmdl = np.ascontiguousarray(zmdl, np.float64)
+    pm = np.ascontiguousarray(pm, np.float64)
+    tm = np.ascontiguousarray(tm, np.float64)
+    rfndx = np.ascontiguousarray(rfndx, np.float64)
+    zout = np.ascontiguousarray(zout, np.float64)
+    immax = len(zmdl)
+    cap = immax + len(zout) + 2
+    zpth = np.empty(cap)
+    pp = np.empty(cap)
+    tp = np.empty(cap)
+    rf = np.empty(cap)
+    src_im = np.empty(cap, np.int64)
+    src_jm = np.empty(cap, np.int64)
+    src_a = np.empty(cap)
+    scal = np.array([0.0, hmid])
+    n = lib.amerge_walk(
+        _ptr(zmdl), _ptr(pm), _ptr(tm), _ptr(rfndx), immax,
+        _ptr(zout), len(zout), hmin, tol,
+        _ptr(zpth), _ptr(pp), _ptr(tp), _ptr(rf),
+        _ptr(src_im), _ptr(src_jm), _ptr(src_a), _ptr(scal))
+    if n < 0:
+        raise ValueError("AMERGE: profile does not extend up to HMIN")
+    n = int(n)
+    return (zpth[:n], pp[:n], tp[:n], rf[:n], src_im[:n], src_jm[:n],
+            src_a[:n], int(scal[0]), scal[1])

@@ -443,4 +443,91 @@ void rfpath_integrate(
   out[5] = cosai;
 }
 
+// ---------------------------------------------------------------------
+// 4. amerge_walk: the AMERGE zout/zmdl merge walk (lblatm.f90:5190-5285)
+//    — a scalar recurrence (tolerance snaps cascade into subsequent
+//    comparisons) that merges path boundaries into the model-level grid
+//    with exponential P / linear T interpolation at inserted points.
+//    Dominant remaining Python cost of layering large stacked-sonde
+//    runs; one call per path replaces an O(levels) interpreter loop.
+//
+//    zmdl/pm/tm/rfndx: [immax] model profile (zmdl is copied; the snap
+//    mutates it).  zout: [ioutmx] merged boundary grid, ascending.
+//    Outputs (caller-allocated capacity >= immax + ioutmx + 2):
+//      zpth/pp/tp/rf  — path point values
+//      src_im         — model-level index, or -1 for interpolated points
+//      src_jm, src_a  — interpolation (jm, a) where src_im == -1
+//      scal[0]=iphmid (1-based), scal[1] stores hmid on input/output.
+//    Returns the number of path points, or -1 if the profile does not
+//    extend up to hmin.
+// ---------------------------------------------------------------------
+
+static inline double expint_c(double x1, double x2, double a) {
+  if (x1 == 0.0 || x2 == 0.0) return x1 + (x2 - x1) * a;
+  return x1 * std::pow(x2 / x1, a);
+}
+
+int64_t amerge_walk(
+    const double* zmdl_in, const double* pm, const double* tm,
+    const double* rfndx, int64_t immax,
+    const double* zout, int64_t ioutmx,
+    double hmin, double tol,
+    double* zpth, double* pp, double* tp, double* rf,
+    int64_t* src_im, int64_t* src_jm, double* src_a,
+    double* scal) {
+  double hmid = scal[1];
+  double* zmdl = new double[immax];
+  std::memcpy(zmdl, zmdl_in, immax * sizeof(double));
+
+  int64_t im = -1;
+  for (int64_t i = 0; i < immax; ++i) {
+    if (zmdl[i] >= hmin) { im = i; break; }
+  }
+  if (im < 0) { delete[] zmdl; return -1; }
+
+  int64_t n = 0, iphmid = 0, iout = 0;
+  const double ztop = zout[ioutmx - 1];
+  for (;;) {
+    if (im <= immax - 1 && iout <= ioutmx - 1) {
+      if (std::fabs(zout[iout] - zmdl[im]) < tol) zmdl[im] = zout[iout];
+    }
+    if (im <= immax - 1 && (iout > ioutmx - 1 || zout[iout] >= zmdl[im])) {
+      if (iout <= ioutmx - 1 && zout[iout] == zmdl[im]) ++iout;
+      zpth[n] = zmdl[im];
+      pp[n] = pm[im];
+      tp[n] = tm[im];
+      rf[n] = rfndx[im];
+      src_im[n] = im;
+      src_jm[n] = 0;
+      src_a[n] = 0.0;
+      ++n;
+      ++im;
+    } else {
+      const double z = zout[iout];
+      const int64_t jm = im > 1 ? im : 1;
+      const double a = (z - zmdl[jm - 1]) / (zmdl[jm] - zmdl[jm - 1]);
+      zpth[n] = z;
+      pp[n] = expint_c(pm[jm - 1], pm[jm], a);
+      tp[n] = tm[jm - 1] + (tm[jm] - tm[jm - 1]) * a;
+      rf[n] = expint_c(rfndx[jm - 1], rfndx[jm], a);
+      src_im[n] = -1;
+      src_jm[n] = jm;
+      src_a[n] = a;
+      ++n;
+      ++iout;
+    }
+    if (std::fabs(zpth[n - 1] - hmid) < tol) {
+      if (zpth[n - 1] != hmid) zpth[n - 1] = hmid;
+      hmid = zpth[n - 1];
+    }
+    if (zpth[n - 1] == hmid) iphmid = n;  // 1-based
+    if (std::fabs(zpth[n - 1] - ztop) < tol) zpth[n - 1] = ztop;
+    if (zpth[n - 1] == ztop) break;
+  }
+  delete[] zmdl;
+  scal[0] = (double)iphmid;
+  scal[1] = hmid;
+  return n;
+}
+
 }  // extern "C"
