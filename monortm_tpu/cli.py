@@ -29,6 +29,13 @@ def main(argv=None):
     ap.add_argument("--netcdf", action="store_true",
                     help="also write MONORTM.NNNNN.nc per profile "
                          "(USENETCDF build option of the reference)")
+    ap.add_argument("--mesh", default="auto", metavar="PROFxWN",
+                    help="device mesh: 'auto' (default; every local "
+                         "device on a (prof, wn) mesh), 'off' (single "
+                         "device), or an explicit shape like '2x4'")
+    ap.add_argument("--workers", type=int, default=None,
+                    help="host processes for IATM=1 layering "
+                         "(default: auto for large profile stacks)")
     args = ap.parse_args(argv)
 
     if args.precision == "float64":
@@ -37,12 +44,22 @@ def main(argv=None):
     import jax.numpy as jnp
     from monortm_tpu.pipeline import run
 
+    mesh = args.mesh
+    if mesh == "off":
+        mesh = None
+    elif mesh != "auto":
+        import jax
+        from monortm_tpu.parallel.sharding import make_mesh
+        n_prof, n_wn = (int(v) for v in mesh.lower().split("x"))
+        mesh = make_mesh(n_prof=n_prof, n_wn=n_wn,
+                         devices=jax.devices()[:n_prof * n_wn])
+
     dtype = jnp.float64 if args.precision == "float64" else jnp.float32
     t0 = time.time()
     res = run(filein=args.filein, fileprof=args.fileprof, hfile=args.hfile,
               fileout=args.fileout, outdir=args.outdir, dtype=dtype,
               wn_tile=args.wn_tile, line_tile=args.line_tile,
-              netcdf=args.netcdf)
+              netcdf=args.netcdf, mesh=mesh, workers=args.workers)
     dt = time.time() - t0
     print(f"monortm-tpu: {len(res.tb)} profile(s) x {len(res.wn)} "
           f"wavenumber(s) in {dt:.2f}s")

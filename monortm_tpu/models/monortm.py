@@ -44,16 +44,19 @@ class MonoRTM:
                  dtype=jnp.float32,
                  wn_tile: int = 128, line_tile: int = 4096,
                  use_pallas: bool | None = None,
-                 pallas_wn_tile: int = 128, pallas_line_tile: int = 256):
+                 pallas_wn_tile: int = 128, pallas_line_tile: int = 256,
+                 mesh=None):
         self.wn = np.asarray(wn, np.float64)
         self.dtype = dtype
+        self.mesh = mesh
         self.od_model = ODModel(wn, dvset, catalog, nmol=nmol,
                                 factors=factors, line_cfg=line_cfg,
                                 dtype=dtype, wn_tile=wn_tile,
                                 line_tile=line_tile,
                                 use_pallas=use_pallas,
                                 pallas_wn_tile=pallas_wn_tile,
-                                pallas_line_tile=pallas_line_tile)
+                                pallas_line_tile=pallas_line_tile,
+                                mesh=mesh)
 
     def forward(self, state: LayerState, tsfc, emis, refl, irt: int,
                 od_xsec=None) -> ForwardResult:
@@ -64,7 +67,18 @@ class MonoRTM:
         """
         od = self.od_model(state, od_xsec=od_xsec)
         wn_d = jnp.asarray(self.wn, self.dtype)
-        rt = rtm(od.od_total, jnp.asarray(state.t, self.dtype)[..., None, :],
+        od_total = od.od_total
+        if self.mesh is not None and jnp.ndim(od_total) == 3:
+            # gather the wn axis before the RT solve: RT is O(W x L) —
+            # negligible next to the line sum — and computing it on
+            # wn-replicated operands keeps the per-profile recurrence
+            # bitwise identical to the single-device program (the wn
+            # partition otherwise shifts XLA's fusion/vectorization and
+            # wobbles the last f32 bits of RAD/TMR)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            od_total = jax.lax.with_sharding_constraint(
+                od_total, NamedSharding(self.mesh, P("prof", None, None)))
+        rt = rtm(od_total, jnp.asarray(state.t, self.dtype)[..., None, :],
                  jnp.asarray(state.tz, self.dtype)[..., None, :],
                  wn_d, tsfc, emis, refl, irt)
         return ForwardResult(rt=rt, od=od, emis=emis, refl=refl)

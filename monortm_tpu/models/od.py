@@ -19,6 +19,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from monortm_tpu import constants as cst
 from monortm_tpu.lines import PackedCatalog
@@ -51,12 +53,23 @@ class ODModel:
                  dtype=jnp.float32,
                  wn_tile: int = 128, line_tile: int = 4096,
                  use_pallas: bool | None = None,
-                 pallas_wn_tile: int = 128, pallas_line_tile: int = 256):
+                 pallas_wn_tile: int = 128, pallas_line_tile: int = 256,
+                 mesh=None):
         self.wn64 = np.asarray(wn, np.float64)
         self.nwn = len(self.wn64)
         self.nmol = int(nmol)
         self.dtype = dtype
         self.line_cfg = line_cfg
+        # (prof, wn) device mesh: when set, the line engines run under
+        # shard_map — profiles split over "prof", wavenumber tiles over
+        # "wn" — and the continuum/RT stages follow by SPMD propagation.
+        # The mesh is a *static* property of the model (it shapes the
+        # wn-tile padding below so every shard gets equal tile counts).
+        self.mesh = mesh if (mesh is not None
+                             and np.prod(list(mesh.shape.values())) > 1) \
+            else None
+        self._n_wn_shards = self.mesh.shape["wn"] if self.mesh else 1
+        self._n_prof_shards = self.mesh.shape["prof"] if self.mesh else 1
         self.cont = ContinuumPlan(self.wn64, dvset=dvset, factors=factors,
                                   nmol=nmol)
         self.catalog = catalog
@@ -70,9 +83,13 @@ class ODModel:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas) and dtype == jnp.float32
 
-        # wavenumber tiling (pad with sentinel far from any physical line)
+        # wavenumber tiling (pad with sentinel far from any physical line);
+        # tile count padded to a multiple of the mesh's wn axis so every
+        # shard holds the same number of tiles
         self.wn_tile = min(wn_tile, max(8, self.nwn))
-        npad = -(-self.nwn // self.wn_tile) * self.wn_tile
+        ntiles = -(-self.nwn // self.wn_tile)
+        ntiles = -(-ntiles // self._n_wn_shards) * self._n_wn_shards
+        npad = ntiles * self.wn_tile
         wn_pad = np.full(npad, 1.0e6, np.float64)
         wn_pad[:self.nwn] = self.wn64
         self.wn_tiles = wn_pad.reshape(-1, self.wn_tile)
@@ -206,8 +223,11 @@ class ODModel:
         self.pallas_nt = nt
         self.pallas_wt = wt
 
-        # padded wavenumber grid + host two-float split
-        wp = max(wt, -(-self.nwn // wt) * wt)
+        # padded wavenumber grid + host two-float split; tile count padded
+        # to a multiple of the mesh's wn axis (equal tiles per shard)
+        n_wtile = max(1, -(-self.nwn // wt))
+        n_wtile = -(-n_wtile // self._n_wn_shards) * self._n_wn_shards
+        wp = n_wtile * wt
         wn_pad = np.full(wp, 1.0e6, np.float64)
         wn_pad[:self.nwn] = self.wn64
         self.pallas_wn_hi = wn_pad.astype(np.float32)
@@ -267,7 +287,7 @@ class ODModel:
             flat(state.wkl, (state.wkl.shape[-1],)),
             flat(state.wbrodl, ()),
             scor_flat.reshape(-1, scor_flat.shape[-1]),
-            self.line_cfg, self.nmol)
+            self.line_cfg, self.nmol, mesh=self.mesh)
         sf = sf.reshape(lead + sf.shape[1:])[..., :self.nwn, :]
 
         # od = RFT * W_species * SF (modm.f90:436-438)
@@ -276,6 +296,47 @@ class ODModel:
         rft = wn_d * jnp.tanh(cst.RADCT * wn_d / (2.0 * t_[..., None]))
         wk_m = jnp.asarray(state.wkl, self.dtype)[..., :self.nmol]
         return rft[..., :, None] * wk_m[..., None, :] * sf
+
+    def _one_wtile(self, args, p, t, wk, wb, scor_flat, vma=()):
+        """Line sum for one wavenumber tile: [..., wn_tile, nmol].
+
+        vma: mesh axis names when called inside shard_map — the scan
+        carry must be marked varying over them (JAX vma typing)."""
+        dtype = self.dtype
+        *wn_chunks, cand_idx, cand_mask = args
+        if dtype == jnp.float64:
+            wn_c = wn_chunks[0]
+            split = None
+        else:
+            wn_hi, wn_lo = wn_chunks
+            wn_c = wn_hi
+            split = (wn_hi, wn_lo)
+
+        acc = jnp.zeros(t.shape + (self.wn_tile, self.nmol), dtype)
+        if vma:
+            acc = jax.lax.pcast(acc, vma, to="varying")
+
+        def block(cat_tile):
+            return line_od_block(cat_tile, wn_c, split, p, t, wk, wb,
+                                 scor_flat, self.line_cfg, self.nmol,
+                                 dtype)
+
+        if self.win_tiles is not None:
+            def body_w(a, km):
+                k, m = km
+                tile = jax.tree_util.tree_map(lambda v: v[k],
+                                              self.win_tiles)
+                od = block(tile)
+                return a + jnp.where(m, od, 0.0), None
+
+            acc, _ = jax.lax.scan(body_w, acc, (cand_idx, cand_mask))
+
+        if self.o2_tiles is not None:
+            def body_o2(a, tile):
+                return a + block(tile), None
+
+            acc, _ = jax.lax.scan(body_o2, acc, self.o2_tiles)
+        return acc
 
     def line_od(self, state: LayerState, scor_flat):
         """Per-molecule line OD [..., W, M, L] over the full grid."""
@@ -292,48 +353,45 @@ class ODModel:
         wk = jnp.asarray(state.wkl, dtype)
         wb = jnp.asarray(state.wbrodl, dtype)
 
-        def one_wtile(args):
-            *wn_chunks, cand_idx, cand_mask = args
-            if dtype == jnp.float64:
-                wn_c = wn_chunks[0]
-                split = None
-            else:
-                wn_hi, wn_lo = wn_chunks
-                wn_c = wn_hi
-                split = (wn_hi, wn_lo)
-
-            init = jnp.zeros(t.shape + (self.wn_tile, self.nmol), dtype)
-            acc = init
-
-            def block(cat_tile):
-                return line_od_block(cat_tile, wn_c, split, p, t, wk, wb,
-                                     scor_flat, self.line_cfg, self.nmol,
-                                     dtype)
-
-            if self.win_tiles is not None:
-                def body_w(a, km):
-                    k, m = km
-                    tile = jax.tree_util.tree_map(lambda v: v[k],
-                                                  self.win_tiles)
-                    od = block(tile)
-                    return a + jnp.where(m, od, 0.0), None
-
-                acc, _ = jax.lax.scan(body_w, acc, (cand_idx, cand_mask))
-
-            if self.o2_tiles is not None:
-                def body_o2(a, tile):
-                    return a + block(tile), None
-
-                acc, _ = jax.lax.scan(body_o2, acc, self.o2_tiles)
-            return acc
-
         # [n_wtiles, ..., wn_tile, M]
         if self.n_cand:
             cargs = wn_args + (self.cand_idx, self.cand_mask)
         else:
             cargs = wn_args + (jnp.zeros((self.n_wtiles, 0), jnp.int32),
                                jnp.zeros((self.n_wtiles, 0), bool))
-        tiles = jax.lax.map(one_wtile, cargs)
+        if self.mesh is not None:
+            # split the wn-tile sweep over "wn" and the profile batch over
+            # "prof"; each shard runs the identical lax.map over its local
+            # tiles against the replicated line-tile catalogs — results
+            # are bitwise identical to the single-device sweep
+            if p.ndim != 2:
+                raise ValueError("mesh execution requires a [batch, nlay] "
+                                 f"state, got p.shape={p.shape}")
+            b = p.shape[0]
+            if b % self._n_prof_shards:
+                raise ValueError(
+                    f"profile batch {b} not divisible by mesh prof axis "
+                    f"{self._n_prof_shards}; pad the batch")
+
+            def mapped(cargs_, p_, t_, wk_, wb_, sc_):
+                return jax.lax.map(
+                    lambda c: self._one_wtile(c, p_, t_, wk_, wb_, sc_,
+                                              vma=("prof", "wn")),
+                    cargs_)
+
+            wn_specs = tuple(P("wn", *(None,) * (np.ndim(a) - 1))
+                             for a in cargs)
+            pr = lambda a: P("prof", *(None,) * (np.ndim(a) - 1))
+            tiles = shard_map(
+                mapped, mesh=self.mesh,
+                in_specs=(wn_specs, pr(p), pr(t), pr(wk), pr(wb),
+                          pr(scor_flat)),
+                out_specs=P("wn", "prof", None, None, None),
+            )(cargs, p, t, wk, wb, scor_flat)
+        else:
+            tiles = jax.lax.map(
+                lambda c: self._one_wtile(c, p, t, wk, wb, scor_flat),
+                cargs)
         # -> [..., n_wtiles*wn_tile, M] -> crop padding
         perm = tuple(range(1, tiles.ndim - 2)) + (0, tiles.ndim - 2,
                                                   tiles.ndim - 1)
@@ -343,7 +401,8 @@ class ODModel:
         return out[..., :self.nwn, :]
 
     # ------------------------------------------------------------------
-    def __call__(self, state: LayerState, od_xsec=None) -> ODResult:
+    def __call__(self, state: LayerState, od_xsec=None,
+                 od_clw_in=None) -> ODResult:
         """Full OD computation (modm.f90:200-272).
 
         state fields carry layer axis last (after any profile batch axes).
@@ -364,10 +423,16 @@ class ODModel:
         # continuum per species: dict -> [..., L, W]
         oc = self.cont(state.p, state.t, state.wkl, state.wbrodl, dtype=dtype)
 
-        # cloud liquid water (modm.f90:264)
+        # cloud liquid water (modm.f90:264); od_clw_in lets the caller
+        # inject a precomputed cloud OD — the pipeline evaluates the TKC
+        # chain in its own (mesh-independent) jit so mesh and
+        # single-device runs stay bitwise identical
         wn_d = jnp.asarray(self.wn64, dtype)
-        o_clw = od_clw(wn_d, jnp.asarray(state.t, dtype)[..., None],
-                       jnp.asarray(state.clw, dtype)[..., None])
+        if od_clw_in is not None:
+            o_clw = jnp.asarray(od_clw_in, dtype)
+        else:
+            o_clw = od_clw(wn_d, jnp.asarray(state.t, dtype)[..., None],
+                           jnp.asarray(state.clw, dtype)[..., None])
 
         # cross-section OD is precomputed on the host ([..., L, W];
         # ops/xsec.py) — tiny workload, data-dependent truncation

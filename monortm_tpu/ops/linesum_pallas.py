@@ -30,8 +30,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 from monortm_tpu import constants as cst
 from monortm_tpu.ops.lineshape import (DELTNU_CUT, LineConfig, MOL_CO2,
@@ -209,7 +211,8 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                    p, t, wk, wbrod, scor_flat,
                    cfg: LineConfig, n_mol: int,
                    gate: bool = True,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None,
+                   mesh=None):
     """Line shape-function sum on [L, W, n_mol] via the Pallas kernel.
 
     tiled_cat: device catalog whose line axis is the *tiled* order
@@ -221,6 +224,13 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     p/t/wk/wbrod/scor_flat carry a single flat layer axis L.
     interpret=None auto-selects: compiled Mosaic on TPU, interpreter
     elsewhere (CPU test meshes), so the same call sites work everywhere.
+
+    mesh: optional jax.sharding.Mesh with ("prof", "wn") axes.  The kernel
+    then runs under shard_map — the flat layer axis L split over "prof"
+    and the wavenumber tiles (plus their candidate-map rows) over "wn",
+    with the tiled catalog replicated: each device sweeps only its own
+    (L, wn) block, no collectives at all.  Requires L % mesh["prof"] == 0
+    and n_wt % mesh["wn"] == 0 (ODModel pads both).
 
     Returns sf [L, Wp, n_mol]; callers apply RFT * W_species
     (modm.f90:436-438) and crop the wn padding.
@@ -266,20 +276,45 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     in_specs.append(pl.BlockSpec((nt, n_mol),
                                  lambda l, i, j, cm, cv: (cm[i, j], 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(L, n_wt, n_cand),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wt, n_mol),
-                               lambda l, i, j, cm, cv: (l, i, 0)),
-    )
-    sf = pl.pallas_call(
-        functools.partial(_kernel, gate=gate),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, wp, n_mol), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret,
-    )(jnp.asarray(cand_map, jnp.int32), jnp.asarray(cand_valid, jnp.int32),
-      *args)
+    def call(cm, cv, *a):
+        # grid from *local* shapes so the same body serves the plain call
+        # and each shard_map shard (which sees its (L, wn) block only)
+        l_loc = a[len(PER_L) + 2].shape[0]      # first PER_LN operand
+        wp_loc = a[0].shape[1]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(l_loc, cv.shape[0], n_cand),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, wt, n_mol),
+                                   lambda l, i, j, cm, cv: (l, i, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, gate=gate),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((l_loc, wp_loc, n_mol),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(cm, cv, *a)
+
+    cm = jnp.asarray(cand_map, jnp.int32)
+    cv = jnp.asarray(cand_valid, jnp.int32)
+    if mesh is not None and mesh.devices.size > 1:
+        np_, nw = mesh.shape["prof"], mesh.shape["wn"]
+        assert L % np_ == 0, (L, np_)
+        assert n_wt % nw == 0, (n_wt, nw)
+        specs = ([P("wn", None), P("wn", None),          # cand map/valid
+                  P(None, "wn"), P(None, "wn")]          # wn hi/lo
+                 + [P(None, None)] * len(PER_L)
+                 + [P("prof", None, None)] * len(PER_LN)
+                 + [P(None, None)] * len(FLAGS)
+                 + [P(None, None)])                       # one-hot
+        # check_vma=False: pallas_call's out_shape carries no varying-axes
+        # info; the out_specs fully describe the sharding here
+        sf = shard_map(call, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P("prof", "wn", None),
+                       check_vma=False)(cm, cv, *args)
+    else:
+        sf = call(cm, cv, *args)
     return sf

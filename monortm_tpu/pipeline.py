@@ -149,18 +149,70 @@ def _slice_result(res, i):
     return ForwardResult(rt=rt, od=od, emis=res.emis, refl=res.refl)
 
 
-def _max_batch(nwn: int, nlay: int, nmol: int,
-               budget_bytes: float = 2.0e9) -> int:
-    """Cap the profile batch so the dominant [B, W, M, L] output fits."""
+def _device_budget_bytes(default: float = 2.0e9) -> float:
+    """Usable per-device memory for batching, from the device itself.
+
+    Uses memory_stats()['bytes_limit'] where the backend reports it (TPU
+    does), keeping 25% headroom for compiler scratch; falls back to a
+    2 GB default on backends without stats (CPU test meshes).
+    """
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            return 0.75 * float(limit)
+    except Exception:
+        pass
+    return default
+
+
+def _max_batch(nwn: int, nlay: int, nmol: int, n_prof_shards: int = 1,
+               budget_bytes: float | None = None) -> int:
+    """Cap the profile batch so the dominant [B, W, M, L] output fits.
+
+    The budget is per device; a (prof, wn) mesh splits both the batch and
+    the wavenumber axis, so the cap scales with the device count."""
+    if budget_bytes is None:
+        budget_bytes = _device_budget_bytes()
     per = max(1, nwn * nlay * (nmol + 6) * 4 * 2)
-    return int(max(1, min(256, budget_bytes // per)))
+    b = int(max(1, min(1024, n_prof_shards * budget_bytes // per)))
+    # keep full shards: round down to a multiple of the prof mesh axis
+    if b > n_prof_shards:
+        b -= b % n_prof_shards
+    return b
+
+
+def _auto_mesh(nprof: int):
+    """(prof, wn) mesh over all local devices: as much profile data
+    parallelism as the workload allows, the rest of the devices on the
+    wavenumber axis.  Returns None on a single device."""
+    devs = jax.devices()
+    n = len(devs)
+    if n <= 1:
+        return None
+    from monortm_tpu.parallel.sharding import make_mesh
+    n_prof = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= max(1, nprof):
+            n_prof = d
+    return make_mesh(n_prof=n_prof, n_wn=n // n_prof, devices=devs)
 
 
 def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         fileout="MONORTM.OUT", outdir=".", dtype=jnp.float32,
         wn_tile=128, line_tile=4096, emis_dir=None,
-        netcdf=False, profile_dir=None) -> RunResult:
+        netcdf=False, profile_dir=None, mesh="auto",
+        workers=None) -> RunResult:
+    """Run the full MONORTM.IN -> MONORTM.OUT pipeline.
+
+    mesh: "auto" builds a (prof, wn) mesh over every local device (the
+    production multi-chip path; single device -> plain jit), None forces
+    single-device execution, or pass a jax.sharding.Mesh with
+    ("prof", "wn") axes.  workers: host-side process count for IATM=1
+    layering (atmos.tape5_atm.profiles_from_tape5).
+    """
     filein = Path(filein)
+    Path(outdir).mkdir(parents=True, exist_ok=True)
     timer = StageTimer()
     # persistent compile cache: first compile of the forward is slow on
     # this class of backend (tens of seconds); repeat runs hit the cache
@@ -197,10 +249,16 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             profiles = read_profiles(fileprof, ixsect=ixsect)
         else:
             from monortm_tpu.atmos.tape5_atm import profiles_from_tape5
-            profiles = profiles_from_tape5(filein, cfg)
+            profiles = profiles_from_tape5(filein, cfg, workers=workers)
     if len(profiles) != nprof:
         # '$'-recycling runs can differ; trust the parsed list
         nprof = len(profiles)
+
+    # (prof, wn) device mesh for the production forward (the reference's
+    # profile loop, monortm.f90:357, made data-parallel)
+    if mesh == "auto":
+        mesh = _auto_mesh(nprof)
+    n_prof_shards = mesh.shape["prof"] if mesh is not None else 1
 
     # TAPE7 (IPUNCH=1 on record 3.1, lblatm.f90:1264-1340): the layering
     # output in MONORTM_PROF.IN-compatible form — the reference's
@@ -329,41 +387,92 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     jit_cache: dict[tuple, Any] = {}
     results: list = [None] * len(prepped)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put_prof(x):
+            # profile batch axis over "prof", everything else replicated;
+            # the wn axis is split inside the model (shard_map over "wn")
+            spec = P("prof", *(None,) * (x.ndim - 1))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+    else:
+        put_prof = jnp.asarray
+
+    # The device work is two jits: the OD stage (the hot line/continuum
+    # sweep — mesh-sharded over (prof, wn) when a mesh is active) and the
+    # RT stage (O(W x L) recurrence — always the same single-device
+    # program, so mesh and non-mesh runs produce bitwise-identical
+    # RAD/TMR/Tb; the OD stage is bitwise under the mesh by construction).
+    from monortm_tpu.models.monortm import ForwardResult
+    from monortm_tpu.models.rt import rtm
+    wn_dev = jnp.asarray(np.asarray(wn, npdt))
+
+    def _rt_fn(r):
+        def f(odt, t, tz, tsfc):
+            return rtm(odt, t[..., None, :], tz[..., None, :], wn_dev,
+                       tsfc, emis_d, refl_d, r)
+        return jax.jit(f)
+
+    from monortm_tpu.ops.cloud import od_clw as _od_clw
+    clw_fn = jax.jit(lambda t, c: _od_clw(wn_dev, t[..., None],
+                                          c[..., None]))
+
     with profile_trace(profile_dir):
         for (nlay, irt, nmol, has_x), idxs in groups.items():
             if nmol not in model_cache:
                 model_cache[nmol] = MonoRTM(
                     wn, cfg.dvset, catalog, nmol=nmol,
                     factors=cfg.factors, line_cfg=LineConfig(ibrd=cfg.ibrd),
-                    dtype=dtype, wn_tile=wn_tile, line_tile=line_tile)
+                    dtype=dtype, wn_tile=wn_tile, line_tile=line_tile,
+                    mesh=mesh)
             model = model_cache[nmol]
-            if (nmol, irt) not in jit_cache:
-                jit_cache[(nmol, irt)] = jax.jit(
-                    lambda s, tsfc, ox, m=model, r=irt:
-                    m.forward(s, tsfc, emis_d, refl_d, r, od_xsec=ox))
-            fwd = jit_cache[(nmol, irt)]
+            if nmol not in jit_cache:
+                jit_cache[nmol] = jax.jit(
+                    lambda s, ox, oclw, m=model:
+                    m.od_model(s, od_xsec=ox, od_clw_in=oclw))
+            if ("rt", irt) not in jit_cache:
+                jit_cache[("rt", irt)] = _rt_fn(irt)
+            od_fn, rt_fn = jit_cache[nmol], jit_cache[("rt", irt)]
 
-            bmax = _max_batch(len(wn), nlay, nmol)
+            bmax = _max_batch(len(wn), nlay, nmol, n_prof_shards)
             for c0 in range(0, len(idxs), bmax):
                 chunk = idxs[c0:c0 + bmax]
                 prs = [prepped[i] for i in chunk]
-                stack = lambda f: jnp.asarray(
-                    np.stack([f(p) for p in prs]).astype(npdt))
+                # pad the batch to a full set of "prof" shards (padding
+                # repeats the last profile; its outputs are dropped)
+                npad = (-len(prs)) % n_prof_shards
+                prs = prs + [prs[-1]] * npad
+                nstack = lambda f: np.stack([f(p) for p in prs]).astype(npdt)
+                t_np = nstack(lambda p: p["st"].t)
+                tz_np = nstack(lambda p: p["st"].tz)
+                tsfc_np = nstack(lambda p: np.asarray([p["tbound"]]))
+                clw_np = nstack(lambda p: p["st"].clw)
+                # cloud OD in its own jit (see od_clw_in in models/od.py)
+                oclw = clw_fn(jnp.asarray(t_np), jnp.asarray(clw_np))
+                if mesh is not None:
+                    oclw = put_prof(np.asarray(oclw))
                 state_d = LayerState(
-                    p=stack(lambda p: p["st"].p),
-                    t=stack(lambda p: p["st"].t),
-                    tz=stack(lambda p: p["st"].tz),
-                    wkl=stack(lambda p: p["wkl"]),
-                    wbrodl=stack(lambda p: p["st"].wbrodl),
-                    clw=stack(lambda p: p["st"].clw))
-                tsfc = stack(lambda p: np.asarray([p["tbound"]]))
+                    p=put_prof(nstack(lambda p: p["st"].p)),
+                    t=put_prof(t_np),
+                    tz=put_prof(tz_np),
+                    wkl=put_prof(nstack(lambda p: p["wkl"])),
+                    wbrodl=put_prof(nstack(lambda p: p["st"].wbrodl)),
+                    clw=put_prof(nstack(lambda p: p["st"].clw)))
                 ox = None
                 if has_x:
-                    ox = stack(lambda p: p["od_xsec"])
+                    ox = put_prof(nstack(lambda p: p["od_xsec"]))
 
                 with timer.stage("device-forward"):
-                    res = fwd(state_d, tsfc, ox)
-                    jax.block_until_ready(res.rt.tb)
+                    od = od_fn(state_d, ox, oclw)
+                    odt = od.od_total
+                    if mesh is not None:
+                        # host round trip de-shards the OD so the RT jit
+                        # sees the exact single-device program/operands
+                        odt = jnp.asarray(np.asarray(odt))
+                    rt = rt_fn(odt, jnp.asarray(t_np),
+                               jnp.asarray(tz_np), jnp.asarray(tsfc_np))
+                    jax.block_until_ready(rt.tb)
+                res = ForwardResult(rt=rt, od=od, emis=emis_d, refl=refl_d)
                 for bi, i in enumerate(chunk):
                     results[i] = _slice_result(res, bi)
 
