@@ -106,11 +106,16 @@ def load_model_atmosphere(mdl: int, nmol: int, hspace: float = 100.0
 
     immax = 50
     denm = np.zeros((MXMOL, immax))
-    denw_ = amol[0] * amol[7] * 1.0e-6            # H2O number density
-    dryair = amol[7] - denw_
-    denm[0] = denw_
-    for k in range(2, min(nmol, 7) + 1):
+    # dry air from the *nominal* H2O density (ppmv x total air), but the
+    # stored H2O density is then ppmv x DRYAIR: the reference's
+    # `DO 10 K=1,7` loop starts at K=1 and overwrites DENM(1,:)
+    # (lblatm.f90:2988-2992) — a quirk, kept for parity; verified against
+    # the reference-generated MONORTM_PROF.IN_sav layer amounts
+    # (tests/test_layering_oracle.py)
+    dryair = amol[7] * (1.0 - amol[0] * 1.0e-6)
+    for k in range(1, min(nmol, 7) + 1):
         denm[k - 1] = amol[k - 1] * 1.0e-6 * dryair
+    denw_ = denm[0].copy()
     for k in range(8, min(nmol, 28) + 1):
         denm[k - 1] = trac[k - 8] * 1.0e-6 * dryair
 
@@ -1247,6 +1252,12 @@ class PathEngine:
                 rf.append(expint(rfndx_l[jm - 1], rfndx_l[jm], a))
                 den_src.append((jm, a))
                 iout += 1
+            # hmid snap: both branches move the path point to hmid.  The
+            # reference instead moves HMID to the model altitude in the
+            # model-level branch (lblatm.f90:5254) — an intentional,
+            # unified deviation bounded by tol (0.5 m) and mirrored in
+            # the native walk (monortm_native.cpp amerge_walk), so the
+            # two implementations stay bit-identical
             if abs(zpth[-1] - hmid) < tol:
                 if zpth[-1] != hmid:
                     zpth[-1] = hmid

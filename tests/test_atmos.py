@@ -19,9 +19,11 @@ def usstd():
 def test_model_atmosphere_surface_values(usstd):
     assert usstd.pm[0] == 1013.0
     assert usstd.tm[0] == 288.2
-    # H2O number density at surface: 7745 ppmv * 2.548e19 cm^-3
-    np.testing.assert_allclose(usstd.denm[0, 0], 7745e-6 * 2.548e19,
-                               rtol=1e-6)
+    # H2O number density at surface: 7745 ppmv * dry-air density — the
+    # reference's MDLATM K=1..7 loop overwrites H2O with ppmv*DRYAIR
+    # (lblatm.f90:2988-2992); see tests/test_layering_oracle.py
+    np.testing.assert_allclose(
+        usstd.denm[0, 0], 7745e-6 * 2.548e19 * (1.0 - 7745e-6), rtol=1e-6)
     assert usstd.zmdl[-1] == 100.0  # truncated at HSPACE
 
 
