@@ -258,6 +258,10 @@ def amerge_walk(zmdl, pm, tm, rfndx, zout, hmin, hmid, tol):
         _ptr(zout), len(zout), hmin, tol,
         _ptr(zpth), _ptr(pp), _ptr(tp), _ptr(rf),
         _ptr(src_im), _ptr(src_jm), _ptr(src_a), _ptr(scal))
+    if n == -2:
+        # fail-loud parity with the Python fallback's IndexError when the
+        # model grid exhausts below remaining zout points
+        raise IndexError("AMERGE: model grid exhausted below path top")
     if n < 0:
         raise ValueError("AMERGE: profile does not extend up to HMIN")
     n = int(n)

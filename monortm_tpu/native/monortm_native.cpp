@@ -503,6 +503,10 @@ int64_t amerge_walk(
       ++n;
       ++im;
     } else {
+      // model grid exhausted with zout points still above the snapped
+      // top: fail loud (-2 -> wrapper raises), matching the Python
+      // fallback's IndexError instead of reading zmdl[immax] OOB
+      if (im > immax - 1) { delete[] zmdl; return -2; }
       const double z = zout[iout];
       const int64_t jm = im > 1 ? im : 1;
       const double a = (z - zmdl[jm - 1]) / (zmdl[jm] - zmdl[jm - 1]);
