@@ -24,6 +24,7 @@ CASES = {
     4: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_sav"),
     5: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_liquid_cloud"),
     6: ("MONORTM.IN_SCALE_IATM1_MODEL0_HMOL1_dn", None),
+    7: ("MONORTM.IN_IATM1_lidar_up", None),
 }
 
 

@@ -29,6 +29,7 @@ CASES = {
     4: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_sav"),
     5: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_liquid_cloud"),
     6: ("MONORTM.IN_SCALE_IATM1_MODEL0_HMOL1_dn", None),
+    7: ("MONORTM.IN_IATM1_lidar_up", None),
 }
 
 
@@ -105,6 +106,17 @@ def _synthetic_raw():
         mol_bits = int(np.float32(y[2]).view(np.int32))
         rows.append([y[0], g[0], y[1], g[1], mol_bits, g[2], y[3], g[3],
                      -1, 0.0])
+    # 1.57 um window for case 7 (MONORTM.IN_IATM1_lidar_up, explicit wn
+    # at 6364.92/6365.13): weak H2O + CO2 30012<-00001-band-like lines
+    for v in np.sort(rng.uniform(6340.0, 6390.0, 24)):
+        line(v, 10 ** rng.uniform(-26, -23.5), rng.uniform(0.06, 0.1),
+             rng.uniform(50, 800), 1, int(rng.integers(1, 4)),
+             rng.uniform(0.35, 0.5), rng.uniform(0.6, 0.8),
+             rng.uniform(-0.02, 0.0), sdep=float(rng.uniform(0, 0.1)))
+    for v in np.sort(rng.uniform(6300.0, 6400.0, 30)):
+        line(v, 10 ** rng.uniform(-25, -23), rng.uniform(0.06, 0.08),
+             rng.uniform(0, 400), 2, 1, rng.uniform(0.07, 0.09),
+             rng.uniform(0.6, 0.75), rng.uniform(-0.008, 0.0))
     n = len(rows)
     return RawLines(
         vnu=np.asarray([r[0] for r in rows], np.float64),
