@@ -29,10 +29,13 @@ def main(argv=None):
     ap.add_argument("--netcdf", action="store_true",
                     help="also write MONORTM.NNNNN.nc per profile "
                          "(USENETCDF build option of the reference)")
-    ap.add_argument("--mesh", default="auto", metavar="PROFxWN",
+    ap.add_argument("--mesh", default="auto", metavar="PROFxWN[xLINE]",
                     help="device mesh: 'auto' (default; every local "
                          "device on a (prof, wn) mesh), 'off' (single "
-                         "device), or an explicit shape like '2x4'")
+                         "device), or an explicit shape like '2x4' — "
+                         "an optional third factor shards the line "
+                         "catalog's candidate tiles (psum-contracted), "
+                         "e.g. '2x2x2'")
     ap.add_argument("--workers", type=int, default=None,
                     help="host processes for IATM=1 layering "
                          "(default: auto for large profile stacks)")
@@ -50,9 +53,11 @@ def main(argv=None):
     elif mesh != "auto":
         import jax
         from monortm_tpu.parallel.sharding import make_mesh
-        n_prof, n_wn = (int(v) for v in mesh.lower().split("x"))
-        mesh = make_mesh(n_prof=n_prof, n_wn=n_wn,
-                         devices=jax.devices()[:n_prof * n_wn])
+        dims = [int(v) for v in mesh.lower().split("x")]
+        n_prof, n_wn = dims[0], dims[1]
+        n_line = dims[2] if len(dims) > 2 else 1
+        mesh = make_mesh(n_prof=n_prof, n_wn=n_wn, n_line=n_line,
+                         devices=jax.devices()[:n_prof * n_wn * n_line])
 
     dtype = jnp.float64 if args.precision == "float64" else jnp.float32
     t0 = time.time()

@@ -45,6 +45,7 @@ class MonoRTM:
                  wn_tile: int = 128, line_tile: int = 4096,
                  use_pallas: bool | None = None,
                  pallas_wn_tile: int = 128, pallas_line_tile: int = 256,
+                 pallas_layer_tile: int = 1,
                  mesh=None):
         self.wn = np.asarray(wn, np.float64)
         self.dtype = dtype
@@ -56,6 +57,7 @@ class MonoRTM:
                                 use_pallas=use_pallas,
                                 pallas_wn_tile=pallas_wn_tile,
                                 pallas_line_tile=pallas_line_tile,
+                                pallas_layer_tile=pallas_layer_tile,
                                 mesh=mesh)
 
     def forward(self, state: LayerState, tsfc, emis, refl, irt: int,

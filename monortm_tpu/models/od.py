@@ -54,6 +54,7 @@ class ODModel:
                  wn_tile: int = 128, line_tile: int = 4096,
                  use_pallas: bool | None = None,
                  pallas_wn_tile: int = 128, pallas_line_tile: int = 256,
+                 pallas_layer_tile: int = 1,
                  mesh=None):
         self.wn64 = np.asarray(wn, np.float64)
         self.nwn = len(self.wn64)
@@ -68,8 +69,13 @@ class ODModel:
         self.mesh = mesh if (mesh is not None
                              and np.prod(list(mesh.shape.values())) > 1) \
             else None
-        self._n_wn_shards = self.mesh.shape["wn"] if self.mesh else 1
-        self._n_prof_shards = self.mesh.shape["prof"] if self.mesh else 1
+        shape = dict(self.mesh.shape) if self.mesh else {}
+        self._n_wn_shards = shape.get("wn", 1)
+        self._n_prof_shards = shape.get("prof", 1)
+        # optional third axis: the candidate-tile (line) axis is
+        # contracted across "line" shards with one psum per forward —
+        # parallel/linesharded.py's pattern, composed into both engines
+        self._n_line_shards = shape.get("line", 1)
         self.cont = ContinuumPlan(self.wn64, dvset=dvset, factors=factors,
                                   nmol=nmol)
         self.catalog = catalog
@@ -103,6 +109,7 @@ class ODModel:
 
         self._build_line_tiles(catalog, line_tile)
         if self.use_pallas:
+            self.pallas_lt = int(pallas_layer_tile)
             self._build_pallas_plan(catalog, nt=pallas_line_tile,
                                     wt=pallas_wn_tile)
 
@@ -119,16 +126,20 @@ class ODModel:
         idx_win = np.nonzero(~is_o2 & catalog.valid)[0]
         idx_win = idx_win[np.argsort(catalog.nu0[idx_win], kind="stable")]
 
-        def tiles_from(idx):
+        def tiles_from(idx, k_mult: int = 1):
             nt = min(line_tile, max(8, len(idx)))
             k = max(1, -(-len(idx) // nt))
+            k = -(-k // k_mult) * k_mult
             full = np.zeros(k * nt, np.int64)
             full[:len(idx)] = idx
             mask = np.zeros(k * nt, bool)
             mask[:len(idx)] = True
             return full.reshape(k, nt), mask.reshape(k, nt)
 
-        self._o2_rows = tiles_from(idx_o2) if len(idx_o2) else None
+        # O2 tiles split across "line" shards (each shard scans its
+        # slice, partials psum'd), so pad the tile count to a multiple
+        self._o2_rows = tiles_from(idx_o2, self._n_line_shards) \
+            if len(idx_o2) else None
         self._win_rows = tiles_from(idx_win) if len(idx_win) else None
 
         def gather_tiles(rows_mask):
@@ -163,6 +174,9 @@ class ODModel:
                 cands.append(sel)
             kmax = max((len(c) for c in cands), default=0)
             self.n_cand = max(kmax, 1)
+            # candidate slots split across "line" shards: equal columns
+            self.n_cand = (-(-self.n_cand // self._n_line_shards)
+                           * self._n_line_shards)
             cand_idx = np.zeros((self.n_wtiles, self.n_cand), np.int32)
             cand_mask = np.zeros((self.n_wtiles, self.n_cand), bool)
             for i, c in enumerate(cands):
@@ -256,6 +270,8 @@ class ODModel:
             sel += list(range(k_win, k_win + k_o2))    # O2 tiles always
             cands.append(sel)
         n_cand = max(max((len(c) for c in cands), default=0), 1)
+        # equal candidate columns per "line" shard (psum-contracted)
+        n_cand = -(-n_cand // self._n_line_shards) * self._n_line_shards
         cmap = np.zeros((n_wt, n_cand), np.int32)
         cvalid = np.zeros((n_wt, n_cand), np.int32)
         for i, c in enumerate(cands):
@@ -287,7 +303,7 @@ class ODModel:
             flat(state.wkl, (state.wkl.shape[-1],)),
             flat(state.wbrodl, ()),
             scor_flat.reshape(-1, scor_flat.shape[-1]),
-            self.line_cfg, self.nmol, mesh=self.mesh)
+            self.line_cfg, self.nmol, mesh=self.mesh, lt=self.pallas_lt)
         sf = sf.reshape(lead + sf.shape[1:])[..., :self.nwn, :]
 
         # od = RFT * W_species * SF (modm.f90:436-438)
@@ -297,11 +313,14 @@ class ODModel:
         wk_m = jnp.asarray(state.wkl, self.dtype)[..., :self.nmol]
         return rft[..., :, None] * wk_m[..., None, :] * sf
 
-    def _one_wtile(self, args, p, t, wk, wb, scor_flat, vma=()):
+    def _one_wtile(self, args, p, t, wk, wb, scor_flat, vma=(),
+                   o2_tiles="model"):
         """Line sum for one wavenumber tile: [..., wn_tile, nmol].
 
         vma: mesh axis names when called inside shard_map — the scan
-        carry must be marked varying over them (JAX vma typing)."""
+        carry must be marked varying over them (JAX vma typing).
+        o2_tiles: "model" scans self.o2_tiles; a tree scans that (the
+        line-sharded path passes each shard's slice); None skips."""
         dtype = self.dtype
         *wn_chunks, cand_idx, cand_mask = args
         if dtype == jnp.float64:
@@ -331,11 +350,13 @@ class ODModel:
 
             acc, _ = jax.lax.scan(body_w, acc, (cand_idx, cand_mask))
 
-        if self.o2_tiles is not None:
+        if o2_tiles == "model":
+            o2_tiles = self.o2_tiles
+        if o2_tiles is not None:
             def body_o2(a, tile):
                 return a + block(tile), None
 
-            acc, _ = jax.lax.scan(body_o2, acc, self.o2_tiles)
+            acc, _ = jax.lax.scan(body_o2, acc, o2_tiles)
         return acc
 
     def line_od(self, state: LayerState, scor_flat):
@@ -373,21 +394,37 @@ class ODModel:
                     f"profile batch {b} not divisible by mesh prof axis "
                     f"{self._n_prof_shards}; pad the batch")
 
-            def mapped(cargs_, p_, t_, wk_, wb_, sc_):
-                return jax.lax.map(
-                    lambda c: self._one_wtile(c, p_, t_, wk_, wb_, sc_,
-                                              vma=("prof", "wn")),
-                    cargs_)
+            n_line = self._n_line_shards
+            vma = ("prof", "wn") + (("line",) if n_line > 1 else ())
 
-            wn_specs = tuple(P("wn", *(None,) * (np.ndim(a) - 1))
-                             for a in cargs)
+            def mapped(cargs_, o2_, p_, t_, wk_, wb_, sc_):
+                tiles_ = jax.lax.map(
+                    lambda c: self._one_wtile(c, p_, t_, wk_, wb_, sc_,
+                                              vma=vma, o2_tiles=o2_),
+                    cargs_)
+                if n_line > 1:
+                    # contract the candidate/O2-tile partials (the
+                    # line-axis psum of parallel/linesharded.py)
+                    tiles_ = jax.lax.psum(tiles_, "line")
+                return tiles_
+
+            # wn-tile arrays split over "wn"; the candidate columns (and
+            # the O2 tile stack) additionally split over "line"
+            line_ax = "line" if n_line > 1 else None
+            wn_specs = (P("wn", None),) * len(wn_args) \
+                + (P("wn", line_ax), P("wn", line_ax))
+            o2_arg = self.o2_tiles
+            o2_spec = None
+            if o2_arg is not None:
+                o2_spec = jax.tree_util.tree_map(
+                    lambda v: P(line_ax, *(None,) * (v.ndim - 1)), o2_arg)
             pr = lambda a: P("prof", *(None,) * (np.ndim(a) - 1))
             tiles = shard_map(
                 mapped, mesh=self.mesh,
-                in_specs=(wn_specs, pr(p), pr(t), pr(wk), pr(wb),
+                in_specs=(wn_specs, o2_spec, pr(p), pr(t), pr(wk), pr(wb),
                           pr(scor_flat)),
                 out_specs=P("wn", "prof", None, None, None),
-            )(cargs, p, t, wk, wb, scor_flat)
+            )(cargs, o2_arg, p, t, wk, wb, scor_flat)
         else:
             tiles = jax.lax.map(
                 lambda c: self._one_wtile(c, p, t, wk, wb, scor_flat),

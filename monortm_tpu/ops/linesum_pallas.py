@@ -1,13 +1,16 @@
 """Pallas TPU kernel for the line-sum hot loop.
 
 The O(layers x wavenumbers x lines) part of the line-by-line sum runs as a
-Pallas kernel over a (layer, wn-tile, candidate-line-tile) grid: each grid
-step computes a [wn_tile, line_tile] block of shape-function evaluations
-entirely in VMEM and contracts it against the line->molecule one-hot on
-the MXU, accumulating [wn_tile, n_mol] partial sums across candidate tiles
-without HBM round trips.  Everything that is O(layers x lines) —
-intensities, halfwidths, coupling Y/G slopes, the wavenumber-independent
-25 cm^-1 pedestal — is precomputed with plain XLA (via the shared
+Pallas kernel over a (layer-pack, wn-tile, candidate-line-tile) grid: each grid
+step computes [wn_tile, line_tile] blocks of shape-function evaluations
+for `lt` packed layers entirely in VMEM and contracts them against the
+line->molecule one-hot on the MXU, accumulating [lt, wn_tile, n_mol]
+partial sums across candidate tiles without HBM round trips.  Packing
+layers makes the per-(layer, line) operand loads sublane-full
+((1, lt, Nt) blocks) and amortizes the per-line/flag/one-hot loads
+across lt layers.  Everything that is O(layers x lines) — intensities,
+halfwidths, coupling Y/G slopes, the wavenumber-independent 25 cm^-1
+pedestal — is precomputed with plain XLA (via the shared
 `ops.lineshape.line_params` prologue, so IBRD=1 and every other knob
 behaves identically to the XLA engine) and streamed in as [L, N] operands.
 
@@ -89,7 +92,7 @@ def _kernel(cmap_ref, cvalid_ref,
             nu_hi_ref, nu_lo_ref, sdep_ref,
             shift_ref, stild_ref, hw_ref, ad_ref, k3v_ref, ya_ref, yb_ref,
             fo2_ref, fco2_ref, fcpl_ref, fxf1_ref, fxf15_ref, fval_ref,
-            onehot_ref, out_ref, *, gate: bool):
+            onehot_ref, out_ref, *, gate: bool, lt: int):
     i = pl.program_id(1)       # wavenumber tile
     j = pl.program_id(2)       # candidate slot
 
@@ -104,16 +107,6 @@ def _kernel(cmap_ref, cvalid_ref,
         nu_hi = nu_hi_ref[0, :][None, :]       # [1, Nt]
         nu_lo = nu_lo_ref[0, :][None, :]
         sdep = sdep_ref[0, :][None, :]
-        # per-(layer, line) operands arrive as [L, 1, N] blocks of (1, 1, Nt)
-        # so that the blocked trailing dims (1, Nt) match the array dims --
-        # the Mosaic lowering requires (8,128)-divisible or full-dim blocks.
-        shift = shift_ref[0, 0, :][None, :]
-        stild = stild_ref[0, 0, :][None, :]
-        hw = hw_ref[0, 0, :][None, :]
-        ad = ad_ref[0, 0, :][None, :]
-        k3v = k3v_ref[0, 0, :][None, :]
-        ya = ya_ref[0, 0, :][None, :]
-        yb = yb_ref[0, 0, :][None, :]
         is_o2 = fo2_ref[0, :][None, :] > 0.5
         is_co2 = fco2_ref[0, :][None, :] > 0.5
         has_cpl = fcpl_ref[0, :][None, :] > 0.5
@@ -121,88 +114,108 @@ def _kernel(cmap_ref, cvalid_ref,
         xf15 = fxf15_ref[0, :][None, :] > 0.5
         valid = fval_ref[0, :][None, :] > 0.5
 
-        xnu = nu_hi + (nu_lo + shift)
-        d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift          # [W, Nt]
-        dsum = wn_hi + xnu
+        # `lt` layers are packed per grid step: the per-(layer, line)
+        # operands arrive as (1, lt, Nt) blocks — sublane-full loads
+        # instead of the (1, 1, Nt) streams of the unpacked kernel — and
+        # the per-line/wn/flag blocks plus the one-hot are loaded once
+        # per lt layers.  The layer walk below is a static unroll; each
+        # iteration is the exact computation of the unpacked kernel.
+        for q in range(lt):
+            shift = shift_ref[0, q, :][None, :]
+            stild = stild_ref[0, q, :][None, :]
+            hw = hw_ref[0, q, :][None, :]
+            ad = ad_ref[0, q, :][None, :]
+            k3v = k3v_ref[0, q, :][None, :]
+            ya = ya_ref[0, q, :][None, :]
+            yb = yb_ref[0, q, :][None, :]
 
-        mirror = (dsum - DELTNU_CUT) <= 0.0
-        within = jnp.abs(d1) <= DELTNU_CUT
-        keep = (within | is_o2) & valid
+            xnu = nu_hi + (nu_lo + shift)
+            d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift      # [W, Nt]
+            dsum = wn_hi + xnu
 
-        # Lorentz switch (modm.f90:419-431): far wings or zeta > 0.99
-        zlor = hw * jnp.float32(0.01) > ad * jnp.float32(0.99)
-        use_lor = (jnp.abs(d1) > 100.0 * ad) | zlor
-        k3l = xlorentz(DELTNU_CUT / hw) / hw
-        k3 = jnp.where(use_lor, k3l, k3v)
+            mirror = (dsum - DELTNU_CUT) <= 0.0
+            within = jnp.abs(d1) <= DELTNU_CUT
+            keep = (within | is_o2) & valid
 
-        # xlorentz(d/hw)/hw == hw / (pi (hw^2 + d^2)): one divide per
-        # evaluation instead of two — the dominant VPU cost of the
-        # all-Lorentz (common MW) path
-        hw_pi = hw * (1.0 / jnp.float32(np.pi))
-        pi_hw2 = hw * hw
+            # Lorentz switch (modm.f90:419-431): far wings or zeta > 0.99
+            zlor = hw * jnp.float32(0.01) > ad * jnp.float32(0.99)
+            use_lor = (jnp.abs(d1) > 100.0 * ad) | zlor
+            k3l = xlorentz(DELTNU_CUT / hw) / hw
+            k3 = jnp.where(use_lor, k3l, k3v)
 
-        def lor(dd):
-            return hw_pi / (pi_hw2 + dd * dd)
+            # xlorentz(d/hw)/hw == hw / (pi (hw^2 + d^2)): one divide per
+            # evaluation instead of two — the dominant VPU cost of the
+            # all-Lorentz (common MW) path
+            hw_pi = hw * (1.0 / jnp.float32(np.pi))
+            pi_hw2 = hw * hw
 
-        if gate:
-            any_voigt = jnp.any(keep & ~use_lor)
+            def lor(dd):
+                return hw_pi / (pi_hw2 + dd * dd)
 
-            def K(dd, dl):
-                # block-level skip of the SD-Voigt/Humlicek machinery when
-                # every surviving line uses the Lorentz limit (the common
-                # MW case: zeta > 0.99 at tropospheric pressures);
-                # identical results — the gated branch evaluates all lanes
-                # exactly as the ungated form does
-                def full():
+            if gate:
+                any_voigt = jnp.any(keep & ~use_lor)
+
+                def K(dd, dl):
+                    # block-level skip of the SD-Voigt/Humlicek machinery
+                    # when every surviving line uses the Lorentz limit
+                    # (the common MW case: zeta > 0.99 at tropospheric
+                    # pressures); identical results — the gated branch
+                    # evaluates all lanes exactly as the ungated form does
+                    def full():
+                        dv = sdvoigt(dd, hw, ad,
+                                     jnp.broadcast_to(sdep, dd.shape),
+                                     gate=True)
+                        return jnp.where(use_lor, dl, dv)
+
+                    return jax.lax.cond(any_voigt, full, lambda: dl)
+
+                k1 = K(d1, lor(d1))
+                # the wn+nu mirror term is only consumed where mirror
+                # holds (lines within 25 cm^-1 of 0) or for coupled O2
+                # lines (modm.f90:649-704); skip its shape evals otherwise
+                k2 = jax.lax.cond(
+                    jnp.any((mirror & keep) | (is_o2 & has_cpl & valid)),
+                    lambda: K(dsum, lor(dsum)),
+                    lambda: jnp.zeros_like(d1))
+            else:
+                def K(dd):
                     dv = sdvoigt(dd, hw, ad,
-                                 jnp.broadcast_to(sdep, dd.shape), gate=True)
-                    return jnp.where(use_lor, dl, dv)
+                                 jnp.broadcast_to(sdep, dd.shape))
+                    return jnp.where(use_lor, lor(dd), dv)
 
-                return jax.lax.cond(any_voigt, full, lambda: dl)
+                k1 = K(d1)
+                k2 = K(dsum)
 
-            k1 = K(d1, lor(d1))
-            # the wn+nu mirror term is only consumed where mirror holds
-            # (lines within 25 cm^-1 of 0) or for coupled O2 lines
-            # (modm.f90:649-704); skip its shape evaluations otherwise
-            k2 = jax.lax.cond(
-                jnp.any((mirror & keep) | (is_o2 & has_cpl & valid)),
-                lambda: K(dsum, lor(dsum)),
-                lambda: jnp.zeros_like(d1))
-        else:
-            def K(dd):
-                dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape))
-                return jnp.where(use_lor, lor(dd), dv)
+            y1 = 1.0 + ya * d1 + yb
+            y2 = 1.0 - ya * dsum + yb
+            y1p = 1.0 + ya * DELTNU_CUT + yb      # [1, Nt]
+            y2p = 1.0 - ya * DELTNU_CUT + yb
 
-            k1 = K(d1)
-            k2 = K(dsum)
+            ped = 2.0 - (d1 * d1) / (DELTNU_CUT * DELTNU_CUT)
 
-        y1 = 1.0 + ya * d1 + yb
-        y2 = 1.0 - ya * dsum + yb
-        y1p = 1.0 + ya * DELTNU_CUT + yb      # [1, Nt]
-        y2p = 1.0 - ya * DELTNU_CUT + yb
+            # LSF branch trees (modm.f90:567-831)
+            sls_other = jnp.where(
+                has_cpl,
+                y1 * k1 - y1p * k3
+                + jnp.where(mirror, y2 * k2 - y2p * k3, 0.0),
+                k1 - k3 + jnp.where(mirror, k2 - k3, 0.0))
+            sls_o2 = jnp.where(
+                has_cpl,
+                jnp.where(xf1, k1 * y1 + k2 * y2, k1 + k2),
+                jnp.where(within, k1 + jnp.where(mirror, k2, 0.0), 0.0))
+            xp4 = k3 * ped
+            sls_co2 = jnp.where(
+                has_cpl,
+                jnp.where(xf15, k1 * y1 - xp4 - k3 * ((y1 - 1.0) * ped),
+                          k1 - xp4),
+                k1 - xp4)
+            sls = jnp.where(is_o2, sls_o2,
+                            jnp.where(is_co2, sls_co2, sls_other))
 
-        ped = 2.0 - (d1 * d1) / (DELTNU_CUT * DELTNU_CUT)
+            contrib = jnp.where(keep, sls, 0.0) * stild
 
-        # LSF branch trees (modm.f90:567-831)
-        sls_other = jnp.where(
-            has_cpl,
-            y1 * k1 - y1p * k3 + jnp.where(mirror, y2 * k2 - y2p * k3, 0.0),
-            k1 - k3 + jnp.where(mirror, k2 - k3, 0.0))
-        sls_o2 = jnp.where(
-            has_cpl,
-            jnp.where(xf1, k1 * y1 + k2 * y2, k1 + k2),
-            jnp.where(within, k1 + jnp.where(mirror, k2, 0.0), 0.0))
-        xp4 = k3 * ped
-        sls_co2 = jnp.where(
-            has_cpl,
-            jnp.where(xf15, k1 * y1 - xp4 - k3 * ((y1 - 1.0) * ped), k1 - xp4),
-            k1 - xp4)
-        sls = jnp.where(is_o2, sls_o2, jnp.where(is_co2, sls_co2, sls_other))
-
-        contrib = jnp.where(keep, sls, 0.0) * stild
-
-        out_ref[0, :, :] += jnp.dot(contrib, onehot_ref[...],
-                                    preferred_element_type=jnp.float32)
+            out_ref[0, q, :, :] += jnp.dot(contrib, onehot_ref[...],
+                                           preferred_element_type=jnp.float32)
 
 
 def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
@@ -212,7 +225,7 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                    cfg: LineConfig, n_mol: int,
                    gate: bool = True,
                    interpret: bool | None = None,
-                   mesh=None):
+                   mesh=None, lt: int = 1):
     """Line shape-function sum on [L, W, n_mol] via the Pallas kernel.
 
     tiled_cat: device catalog whose line axis is the *tiled* order
@@ -243,6 +256,15 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     n = pre["stild"].shape[-1]
     assert n % nt == 0, (n, nt)
 
+    # pack lt layers per grid step (sublane-full per-(layer, line)
+    # operand loads; the per-line/flag/one-hot blocks amortize across
+    # the packed layers).  The layer axis pads up to a multiple of
+    # lt x mesh-prof-shards by repeating layer 0; padding is cropped.
+    np_ = mesh.shape["prof"] if (mesh is not None
+                                 and mesh.devices.size > 1) else 1
+    lt = max(1, min(lt, -(-L // np_)))
+    lp = -(-L // (lt * np_)) * (lt * np_)
+
     wp = len(wn_hi)
     assert wp % wt == 0, (wp, wt)
     n_wt = wp // wt
@@ -266,9 +288,12 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     for k in PER_LN:
         v = pre[k]
         v = jnp.broadcast_to(v, (L, n)) if v.ndim == 1 else v
-        args.append(v[:, None, :])           # [L, 1, N]
+        if lp != L:
+            v = jnp.concatenate(
+                [v, jnp.broadcast_to(v[:1], (lp - L, n))], axis=0)
+        args.append(v.reshape(lp // lt, lt, n))      # [Lb, lt, N]
         in_specs.append(pl.BlockSpec(
-            (1, 1, nt), lambda l, i, j, cm, cv: (l, 0, cm[i, j])))
+            (1, lt, nt), lambda l, i, j, cm, cv: (l, 0, cm[i, j])))
     for k in FLAGS:
         args.append(pre["flags"][k][None, :])
         in_specs.append(pl.BlockSpec((1, nt), cand_spec))
@@ -279,19 +304,19 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     def call(cm, cv, *a):
         # grid from *local* shapes so the same body serves the plain call
         # and each shard_map shard (which sees its (L, wn) block only)
-        l_loc = a[len(PER_L) + 2].shape[0]      # first PER_LN operand
+        lb_loc = a[len(PER_L) + 2].shape[0]     # first PER_LN operand
         wp_loc = a[0].shape[1]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(l_loc, cv.shape[0], n_cand),
+            grid=(lb_loc, cv.shape[0], cv.shape[1]),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, wt, n_mol),
-                                   lambda l, i, j, cm, cv: (l, i, 0)),
+            out_specs=pl.BlockSpec((1, lt, wt, n_mol),
+                                   lambda l, i, j, cm, cv: (l, 0, i, 0)),
         )
         return pl.pallas_call(
-            functools.partial(_kernel, gate=gate),
+            functools.partial(_kernel, gate=gate, lt=lt),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((l_loc, wp_loc, n_mol),
+            out_shape=jax.ShapeDtypeStruct((lb_loc, lt, wp_loc, n_mol),
                                            jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -301,10 +326,19 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     cm = jnp.asarray(cand_map, jnp.int32)
     cv = jnp.asarray(cand_valid, jnp.int32)
     if mesh is not None and mesh.devices.size > 1:
-        np_, nw = mesh.shape["prof"], mesh.shape["wn"]
-        assert L % np_ == 0, (L, np_)
+        nw = mesh.shape["wn"]
+        n_line = dict(mesh.shape).get("line", 1)
         assert n_wt % nw == 0, (n_wt, nw)
-        specs = ([P("wn", None), P("wn", None),          # cand map/valid
+        assert n_cand % n_line == 0, (n_cand, n_line)
+        # candidate-slot columns additionally split over "line": each
+        # shard sweeps its own candidate subset against the replicated
+        # tiled catalog, partial sums contracted with one psum
+        line_ax = "line" if n_line > 1 else None
+        body = call
+        if n_line > 1:
+            body = lambda cm_, cv_, *a: jax.lax.psum(
+                call(cm_, cv_, *a), "line")
+        specs = ([P("wn", line_ax), P("wn", line_ax),    # cand map/valid
                   P(None, "wn"), P(None, "wn")]          # wn hi/lo
                  + [P(None, None)] * len(PER_L)
                  + [P("prof", None, None)] * len(PER_LN)
@@ -312,9 +346,9 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                  + [P(None, None)])                       # one-hot
         # check_vma=False: pallas_call's out_shape carries no varying-axes
         # info; the out_specs fully describe the sharding here
-        sf = shard_map(call, mesh=mesh, in_specs=tuple(specs),
-                       out_specs=P("prof", "wn", None),
+        sf = shard_map(body, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P("prof", None, "wn", None),
                        check_vma=False)(cm, cv, *args)
     else:
         sf = call(cm, cv, *args)
-    return sf
+    return sf.reshape(lp, wp, n_mol)[:L]

@@ -30,10 +30,15 @@ from monortm_tpu.types import LayerState
 
 
 def make_mesh(n_prof: int | None = None, n_wn: int | None = None,
-              devices=None) -> Mesh:
-    """Build a (prof, wn) mesh over the available devices."""
+              devices=None, n_line: int = 1) -> Mesh:
+    """Build a (prof, wn[, line]) mesh over the available devices.
+
+    n_line > 1 adds a third "line" axis: the line catalog's candidate
+    tiles are contracted across it with one psum per forward (for
+    catalogs too large per chip; see parallel/linesharded.py and the
+    engines' mesh paths in models/od.py)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    n = devices.size
+    n = devices.size // n_line
     if n_prof is None and n_wn is None:
         n_wn = n
         n_prof = 1
@@ -41,7 +46,11 @@ def make_mesh(n_prof: int | None = None, n_wn: int | None = None,
         n_prof = n // n_wn
     elif n_wn is None:
         n_wn = n // n_prof
-    assert n_prof * n_wn == n, (n_prof, n_wn, n)
+    assert n_prof * n_wn * n_line == devices.size, \
+        (n_prof, n_wn, n_line, devices.size)
+    if n_line > 1:
+        return Mesh(devices.reshape(n_prof, n_wn, n_line),
+                    ("prof", "wn", "line"))
     return Mesh(devices.reshape(n_prof, n_wn), ("prof", "wn"))
 
 

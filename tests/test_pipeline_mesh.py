@@ -105,3 +105,27 @@ def test_line_engines_under_mesh():
     assert len({s.device for s in lP.addressable_shards}) == 8
     np.testing.assert_allclose(np.asarray(lP), np.asarray(l0),
                                rtol=2e-5, atol=1e-11)
+
+
+def test_line_axis_sharding():
+    """(prof, wn, line) 3-axis mesh: the candidate tiles (and O2 tile
+    stack) split over 'line' and contract with one psum, in both
+    engines (parallel/linesharded.py's pattern, reachable from the
+    production model via --mesh 2x2x2)."""
+    mesh = make_mesh(n_prof=2, n_wn=2, n_line=2)
+    assert dict(mesh.shape) == {"prof": 2, "wn": 2, "line": 2}
+    state = _sharded_state(mesh)
+    sc = jnp.ones((4, 8, 351), jnp.float32)
+
+    m0 = _mesh_model(False, None)
+    l0 = np.asarray(m0.od_model.line_od(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), state),
+        sc))
+
+    mL = _mesh_model(False, mesh)
+    lL = np.asarray(mL.od_model.line_od(state, sc))
+    np.testing.assert_allclose(lL, l0, rtol=2e-5, atol=1e-11)
+
+    mPL = _mesh_model(True, mesh)
+    lPL = np.asarray(mPL.od_model.line_od_pallas(state, sc))
+    np.testing.assert_allclose(lPL, l0, rtol=2e-5, atol=1e-11)
