@@ -92,6 +92,16 @@ class _RecordReader:
         return memoryview(self.data)[start:end]
 
 
+def read_tape3_header(path: str | Path) -> str:
+    """The 80-char HLINID file-header string (lnfl_mod.f90:250-252),
+    e.g. for the LOG version-stamp tail's 'spectral file' field."""
+    data = Path(path).read_bytes()
+    header = _RecordReader(data).next_record()
+    if header is None:
+        raise EOFError("TAPE3: missing file header")
+    return bytes(header[:80]).decode("latin-1")
+
+
 def read_tape3(path: str | Path, v1: float, v2: float) -> RawLines:
     """Read raw line records covering [max(0, v1-25), v2+25].
 

@@ -74,48 +74,105 @@ def integr(wkl: np.ndarray, clw: np.ndarray):
     return pwv, float(np.sum(clw))
 
 
-def _log_layer_table(log, p, t, wkl, wbrodl, nmol, title):
-    """LBLATM/profil_scal-style per-layer column table into MONORTM.LOG.
+# the reference's hand-centred 8-char labels (DATA HMOLC,
+# lblatm.f90:179-188), printed through A10 edits in the LOG tables
+_HMOLC8 = (
+    "  H2O   ", "  CO2   ", "   O3   ", "  N2O   ", "   CO   ",
+    "  CH4   ", "   O2   ", "   NO   ", "  SO2   ", "  NO2   ",
+    "  NH3   ", " HNO3   ", "   OH   ", "   HF   ", "  HCL   ",
+    "  HBR   ", "   HI   ", "  CLO   ", "  OCS   ", " H2CO   ",
+    " HOCL   ", "   N2   ", "  HCN   ", " CH3CL  ", " H2O2   ",
+    " C2H2   ", " C2H6   ", "  PH3   ", " COF2   ", "  SF6   ",
+    "  H2S   ", " HCOOH  ", "  HO2   ", "   O+   ", " ClONO2 ",
+    "   NO+  ", "  HOBr  ", " C2H4   ", " CH3OH  ")
 
-    Molecules 1-7 + OTHER as absolute columns with a density-weighted
-    total row, then molecules 8..nmol as dry-air mixing ratios
-    (monortm_sub.F90:1052-1185, formats 974/980/985; lblatm.f90:1219-1244
-    carries the same per-layer amounts for IATM=1 paths).
+
+def _fort_hmolid(m: int) -> str:
+    """HMOLC(m) through an A10 edit (2 leading blanks)."""
+    return "  " + _HMOLC8[m]
+
+
+def _log_layer_table(log, p, t, wkl, wbrodl, nmol, title=None):
+    """Per-layer column-amount + mixing-ratio tables into MONORTM.LOG,
+    byte-matching the reference's IFORM=1 format statements
+    974/980/985/976/979 (monortm_sub.F90:1052-1209; lblatm.f90:1219-1244
+    logs the same layout for IATM=1 paths).
+
+    Deviation (documented): in the molecules-8+ mixing-ratio block the
+    reference divides by a stale WDRAIR from the previous loop (the
+    variable is not recomputed per layer, monortm_sub.F90:1160-1185);
+    here the per-layer dry-air density is used for every block.
     """
-    from monortm_tpu.data.loader import HMOLC
     p = np.asarray(p, np.float64)
     t = np.asarray(t, np.float64)
     wkl = np.asarray(wkl, np.float64)
     wbrodl = np.asarray(wbrodl, np.float64)
     nlay = len(p)
+    holn2 = "  OTHER "
 
-    log.write(f"0{'':>53s}{title}\n")
-    names = [HMOLC[i] for i in range(7)] + ["  OTHER  "]
-    log.write("         P(MB)      T(K)   "
-              + "".join(f"{n:>12s}" for n in names) + "\n")
-    for k in range(nlay):
-        cols = "".join(f"{wkl[k, m]:12.4E}" for m in range(7))
-        log.write(f"{k+1:4d}{p[k]:11.5f}{t[k]:9.2f} "
-                  f"{cols}{wbrodl[k]:12.4E}\n")
-    if nlay > 1:
-        wmt = wkl.sum(axis=0)
-        wtot = wkl[:, :7].sum(axis=1) + wbrodl
-        pwtd = float((p * wtot).sum() / wtot.sum())
-        twtd = float((t * wtot).sum() / wtot.sum())
-        cols = "".join(f"{wmt[m]:12.4E}" for m in range(7))
-        log.write(f" TOT{pwtd:11.5f}{twtd:9.2f} "
-                  f"{cols}{float(wbrodl.sum()):12.4E}\n")
-    if nmol > 7:
-        wdrair = wbrodl[:, None] + wkl[:, 1:nmol].sum(axis=1)[:, None]
-        log.write(f"0{'':>48s}MIXING RATIOS BY LAYER (MOL 8-{nmol})\n")
+    wmt = wkl.sum(axis=0)
+    wtot = wkl[:, :7].sum(axis=1) + wbrodl
+    pwtd = float((p * wtot).sum() / wtot.sum())
+    twtd = float((t * wtot).sum() / wtot.sum())
+
+    def hdr974(names):
+        log.write("0" + " " * 53
+                  + "MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER \n")
+        log.write(" " * 13 + "P(MB)" + " " * 6 + "T(K)" + " " * 5
+                  + "".join(f"{n:>10s}" + " " * 5 for n in names) + "\n")
+
+    def row980(lbl, pv, tv, vals):
+        log.write(f"0{lbl:3d}{pv:15.7f}{tv:9.2f}  "
+                  + "".join(f"{v:15.7E}" for v in vals) + "\n")
+
+    # molecular amounts, 8 columns per block (974/980/985): block 1 is
+    # mols 1-7 + OTHER, later blocks mols 8-15, 16-23, ... (MLO=8,8)
+    for mlo in [0] + list(range(7, nmol, 8)):
+        mhi = min(mlo + 8, nmol)
+        if mlo == 0:
+            names = [_fort_hmolid(m)[2:] for m in range(7)] + [holn2]
+            cols = lambda k: list(wkl[k, :7]) + [wbrodl[k]]
+            tot = list(wmt[:7]) + [float(wbrodl.sum())]
+        else:
+            log.write("\n" * 5)          # format 970 (////)
+            names = [_fort_hmolid(m)[2:] for m in range(mlo, mhi)]
+            cols = lambda k: list(wkl[k, mlo:mhi])
+            tot = list(wmt[mlo:mhi])
+        hdr974(names)
         for k in range(nlay):
-            if wdrair[k, 0] <= 0.0:
-                log.write(f"{k+1:4d}  WDRAIR = 0 -- mixing ratios "
-                          "undefined\n")
-                continue
-            vals = wkl[k, 7:nmol] / wdrair[k, 0]
-            cols = "".join(f"{v:12.4E}" for v in vals)
-            log.write(f"{k+1:4d}{p[k]:11.5f}{t[k]:9.2f} {cols}\n")
+            row980(k + 1, p[k], t[k], cols(k))
+        if nlay > 1:
+            log.write("0" + " " * 54
+                      + "ACCUMULATED MOLECULAR AMOUNTS FOR TOTAL PATH\n")
+            row980(nlay, pwtd, twtd, tot)
+
+    # mixing ratios vs dry air (976/980/979)
+    wdrair = wbrodl + wkl[:, 1:nmol].sum(axis=1)
+
+    def hdr976(names):
+        log.write("\n1" + " " * 54
+                  + "----------------------------------\n")
+        log.write("0" + " " * 60 + "MIXING RATIOS BY LAYER \n")
+        log.write(" " * 10 + "P(MB)" + " " * 6 + "T(K)" + " " * 5
+                  + "".join(f"{n:>10s}" + " " * 5 for n in names) + "\n")
+
+    for mlo in [0] + list(range(7, nmol, 8)):
+        mhi = min(mlo + 8, nmol)
+        if mlo == 0:
+            names = [_fort_hmolid(m)[2:] for m in range(7)] + [holn2]
+            cols = lambda k: list(wkl[k, :7] / wdrair[k]) + [wbrodl[k]]
+        else:
+            if nlay < 5:
+                log.write("\n" * 5)      # format 970
+            names = [_fort_hmolid(m)[2:] for m in range(mlo, mhi)]
+            cols = lambda k: list(wkl[k, mlo:mhi] / wdrair[k])
+        hdr976(names)
+        for k in range(nlay):
+            if wdrair[k] == 0.0:
+                log.write("\n0  MIXING RATIO IS UNDEFINED. "
+                          "DRYAIR DENSITY=0.0\n")
+            else:
+                row980(k + 1, p[k], t[k], cols(k))
 
 
 @dataclasses.dataclass
@@ -306,6 +363,49 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
 
     # ---- host prep per profile (scaling, columns, xsec OD) ----------
     cld_file = filein.parent / "in_lblrtm_cld"
+
+    # cross-section OD prep is the one per-profile host stage with real
+    # compute (file reads + pressure convolutions); fan it out across a
+    # thread pool up front — the index/spectra caches are shared and the
+    # numpy convolutions release the GIL (monortm.f90:492-532 runs this
+    # serially per profile)
+    xsec_results: dict[int, Any] = {}
+    xs_profiles = [i for i, prof in enumerate(profiles)
+                   if cfg.ixsect >= 1
+                   and getattr(prof, "xamnt", None) is not None]
+    if xs_profiles:
+        from concurrent.futures import ThreadPoolExecutor
+        from monortm_tpu.io.fscdxs import read_fscdxs, read_xs_file
+        from monortm_tpu.ops.xsec import xsec_od
+        fdir = filein.parent
+        idx_cache: dict[tuple, Any] = {}
+        spectra: dict[str, Any] = {}
+
+        def _prep_xsec(i):
+            prof = profiles[i]
+            key = tuple(prof.xsname)
+            if key not in idx_cache:
+                idx_cache[key] = read_fscdxs(fdir / "FSCDXS", prof.xsname,
+                                             float(wn.min()),
+                                             float(wn.max()))
+            idx = idx_cache[key]
+            for regs in idx.regions.values():
+                for reg in regs:
+                    for f in reg.files:
+                        if f not in spectra:
+                            spectra[f] = read_xs_file(fdir / "xs" / f)
+            st = prof.state
+            return i, xsec_od(idx, spectra, wn, st.p, st.t, prof.xamnt)
+
+        with timer.stage("xsec-prep"):
+            # warm the caches serially on the first profile, then fan out
+            xsec_results.update([_prep_xsec(xs_profiles[0])])
+            rest = xs_profiles[1:]
+            if rest:
+                nthreads = min(8, len(rest))
+                with ThreadPoolExecutor(nthreads) as ex:
+                    xsec_results.update(ex.map(_prep_xsec, rest))
+
     prepped = []
     with timer.stage("host-prep"):
         for npr0, prof in enumerate(profiles, start=1):
@@ -339,21 +439,8 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             pwv, clw_col = integr(wkl, st.clw)
 
             # cross-section molecules (IATM=0 layer amounts;
-            # monortm.f90:492-532 + MONORTM_XSEC_SUB)
-            od_xsec = None
-            if cfg.ixsect >= 1 and getattr(prof, "xamnt", None) is not None:
-                from monortm_tpu.io.fscdxs import read_fscdxs, read_xs_file
-                from monortm_tpu.ops.xsec import xsec_od
-                fdir = filein.parent
-                idx = read_fscdxs(fdir / "FSCDXS", prof.xsname,
-                                  float(wn.min()), float(wn.max()))
-                spectra = {}
-                for regs in idx.regions.values():
-                    for reg in regs:
-                        for f in reg.files:
-                            if f not in spectra:
-                                spectra[f] = read_xs_file(fdir / "xs" / f)
-                od_xsec = xsec_od(idx, spectra, wn, st.p, st.t, prof.xamnt)
+            # monortm.f90:492-532 + MONORTM_XSEC_SUB), prepared above
+            od_xsec = xsec_results.get(npr0 - 1)
 
             # optional TES cloud OD file (see io/cldod.py)
             if cld_file.exists():
@@ -500,6 +587,23 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                       f"ANGLE={meta.angle:8.3f} IRT={pr['irt']} "
                       f"PWV={pr['pwv']:8.4f} CLW={pr['clw_col']:8.4f}\n")
             print(f"PROCESSING PROFILE NUMBER: {npr:5d}")
+    # version-stamp tail (monortm.f90:591-619, format 1000): same layout,
+    # our module identities in the A15 fields
+    try:
+        from monortm_tpu.io.tape3 import read_tape3_header
+        hvrspec = read_tape3_header(hfile)[:15]
+    except Exception:
+        hvrspec = "(no TAPE3 hdr)"
+    from monortm_tpu import __version__ as _v
+    a15 = lambda s: f"{s[:15]:<15s}"
+    log.write("\n--------------------------------------\n")
+    log.write("Modules and versions used in this calculation:\n\n")
+    log.write(a15("Release  5.6") + "\n\n")
+    log.write(f"     spectral file :     {a15(hvrspec)}\n")
+    log.write(f"     monortm.f     :     {a15('pipeline ' + _v)}          "
+              f"modm.f           :      {a15('models.od ' + _v)}\n")
+    log.write(f"     monortm_sub.f :     {a15('io.output ' + _v)}          "
+              f"lblatm_monortm.f :      {a15('atmos ' + _v)}\n")
     log.write(timer.report())
     log.close()
     return out
