@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark at the reference's designed capacity envelope:
+NWN = 80000 (RTMmono.f90:10) x 250k-line catalog (lnfl_mod.f90:5).
+
+Measures the Pallas line-sum engine (the only O(wn x lines) stage) on
+one chip: steady-state ms/iter, od-evals/s, and the achieved HBM
+read bandwidth implied by the candidate-pruned operand traffic.
+
+Usage: python tools/bench_envelope.py [--nlay 8] [--nwn 80000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nlay", type=int, default=8)
+    ap.add_argument("--nwn", type=int, default=80000)
+    ap.add_argument("--lines", type=int, default=250000)
+    ap.add_argument("--wt", type=int, default=128)
+    ap.add_argument("--nt", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path(__file__).parent.parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    from monortm_tpu.models.od import ODModel
+    from monortm_tpu.testing import synthetic_catalog_mw, synthetic_state
+
+    # a 250k-line catalog across the 0-55 cm^-1 microwave band
+    n_h2o = args.lines * 2 // 3
+    n_o2 = args.lines - n_h2o
+    cat = synthetic_catalog_mw(n_h2o=n_h2o, n_o2=n_o2, tile=4096)
+    n_lines = int(np.sum(np.asarray(cat.valid)))
+    wn = np.linspace(0.3, 55.0, args.nwn)
+
+    model = ODModel(wn, dvset=float(wn[1] - wn[0]), catalog=cat, nmol=22,
+                    dtype=jnp.float32, use_pallas=True,
+                    pallas_wn_tile=args.wt, pallas_line_tile=args.nt)
+    state = synthetic_state(nlay=args.nlay)
+    state = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
+                                   state)
+    scor = jnp.ones((args.nlay, 351), jnp.float32)
+
+    cv = model.pallas_cand_valid
+    steps = int(args.nlay * cv.sum())
+    # operand bytes per grid step (PER_LN streams + per-line + flags +
+    # one-hot + output read-modify-write)
+    per_step = (7 * args.nt + 3 * args.nt + 4 * args.nt
+                + args.nt * 22 + 2 * args.wt * 22) * 4
+
+    fn = jax.jit(lambda s, c: model.line_od_pallas(s, c))
+    t0 = time.perf_counter()
+    fn(state, scor).block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(state, scor)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    evals = args.nlay * args.nwn * n_lines
+    print(f"envelope: {args.nlay} layers x {args.nwn} wn x "
+          f"{n_lines} lines  (compile {compile_s:.0f}s)")
+    print(f"  grid steps/iter: {steps}  "
+          f"candidate density: {cv.mean():.3f}")
+    print(f"  {dt * 1e3:.1f} ms/iter   {evals / dt:.3e} od-evals/s   "
+          f"{steps * per_step / dt / 1e9:.0f} GB/s operand traffic")
+
+
+if __name__ == "__main__":
+    main()
