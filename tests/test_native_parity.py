@@ -52,6 +52,25 @@ def test_amerge_native_vs_fallback_bitwise(engine, monkeypatch, zbnd):
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
+@pytest.mark.parametrize("with_minus5", [False, True])
+def test_group_resolve_native_vs_python(with_minus5):
+    """The native C++ GET_LNFL/LINES-walk catalog resolve must agree
+    field-for-field with the pure-Python group+resolve on catalogs with
+    coupling rows (incl. the -5 first-of-block quirk)."""
+    from monortm_tpu.lines import group, resolve
+    from tests.test_lines import synthetic_raw
+
+    raw = synthetic_raw(with_minus5=with_minus5)
+    nat = native.group_resolve_lines(raw)
+    assert nat is not None
+    py = resolve(group(raw))
+    for f in nat.__dataclass_fields__:
+        a, b = getattr(nat, f), getattr(py, f)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"field {f}")
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
 def test_amerge_native_walk_direct_tol_edges(engine):
     """Direct kernel call on both sides of the snap threshold: a
     boundary 2*tol from a model level keeps both points; one inside tol
