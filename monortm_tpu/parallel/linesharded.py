@@ -69,6 +69,10 @@ def line_od_linesharded(cat_stack: dict, wn, wn_split, state, scor_flat,
     rep = P()
     has_split = wn_split is not None
 
+    # jit around the shard_map: called eagerly, every primitive inside
+    # would otherwise compile as its own tiny SPMD executable (minutes
+    # of compile for the transcendental-heavy line math)
+    @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=(cat_specs, rep, rep, rep, rep, rep, rep, rep),
              out_specs=rep)
