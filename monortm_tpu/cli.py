@@ -39,7 +39,17 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=None,
                     help="host processes for IATM=1 layering "
                          "(default: auto for large profile stacks)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host run: jax.distributed rendezvous via "
+                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                         "JAX_PROCESS_ID before building the mesh")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        from monortm_tpu.parallel.distributed import init_distributed
+        if not init_distributed():
+            print("monortm-tpu: --distributed set but coordinator env "
+                  "not configured; running single-process")
 
     if args.precision == "float64":
         import jax
