@@ -92,16 +92,22 @@ def test_line_engines_under_mesh():
 
     m0 = _mesh_model(False, None)
     mM = _mesh_model(False, mesh)
-    l0 = m0.od_model.line_od(
+    # jit: eagerly, every primitive under shard_map compiles separately.
+    # Under jit the epilogue (crop/transpose) fuses differently per
+    # sharding, so the engine-level check is last-ulp allclose; the
+    # *pipeline*-level bitwise guarantee is asserted byte-for-byte by
+    # test_mesh_run_byte_identical (its two stages jit identically).
+    l0 = jax.jit(m0.od_model.line_od)(
         jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), state),
         sc)
-    lM = mM.od_model.line_od(state, sc)
-    np.testing.assert_array_equal(np.asarray(l0), np.asarray(lM))
+    lM = jax.jit(mM.od_model.line_od)(state, sc)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(lM),
+                               rtol=5e-7, atol=0)
     # (prof, wn) placement across all 8 devices
     assert len({s.device for s in lM.addressable_shards}) == 8
 
     mP = _mesh_model(True, mesh)
-    lP = mP.od_model.line_od_pallas(state, sc)     # [B, L, W, M]
+    lP = jax.jit(mP.od_model.line_od_pallas)(state, sc)   # [B, L, W, M]
     assert len({s.device for s in lP.addressable_shards}) == 8
     np.testing.assert_allclose(np.asarray(lP), np.asarray(l0),
                                rtol=2e-5, atol=1e-11)
@@ -118,14 +124,14 @@ def test_line_axis_sharding():
     sc = jnp.ones((4, 8, 351), jnp.float32)
 
     m0 = _mesh_model(False, None)
-    l0 = np.asarray(m0.od_model.line_od(
+    l0 = np.asarray(jax.jit(m0.od_model.line_od)(
         jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), state),
         sc))
 
     mL = _mesh_model(False, mesh)
-    lL = np.asarray(mL.od_model.line_od(state, sc))
+    lL = np.asarray(jax.jit(mL.od_model.line_od)(state, sc))
     np.testing.assert_allclose(lL, l0, rtol=2e-5, atol=1e-11)
 
     mPL = _mesh_model(True, mesh)
-    lPL = np.asarray(mPL.od_model.line_od_pallas(state, sc))
+    lPL = np.asarray(jax.jit(mPL.od_model.line_od_pallas)(state, sc))
     np.testing.assert_allclose(lPL, l0, rtol=2e-5, atol=1e-11)
