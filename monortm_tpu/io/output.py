@@ -10,12 +10,42 @@ a NetCDF library.
 
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
+from typing import Any
 
 import numpy as np
 
 from monortm_tpu import constants as cst
 from monortm_tpu.data.loader import HMOLC
+
+
+@dataclasses.dataclass
+class ProfileOutput:
+    """Host-side per-profile results, pre-reduced on device.
+
+    Everything STOREOUT prints is O(W) or O(W x M): the layer reductions
+    (total OD, per-molecule line OD, continuum OD sums) happen on the
+    device inside the OD jit, so the default pipeline only transfers
+    these small arrays (monortm_sub.F90:649-656 does the same sums on
+    host because the Fortran has no device).  Per-layer arrays are
+    attached only when a consumer needs them (IOD=1 layer files,
+    NetCDF output).
+    """
+    tb: Any               # [W] brightness temperature
+    tmr: Any              # [W] mean radiating temperature
+    rad: Any              # [W] radiance
+    trtot: Any            # [W] total transmittance
+    rup: Any              # [W] upwelling path radiance
+    rdn: Any              # [W] downwelling path radiance
+    emis: Any             # [W]
+    refl: Any             # [W]
+    otot: Any             # [W]      total OD summed over layers
+    by_mol: Any           # [W, M]   line OD per molecule, layer-summed
+    oc: Any               # {species: [W]} continuum OD, layer-summed
+    odx: Any = None       # [W] cross-section OD, layer-summed (or None)
+    od_layers: Any = None  # [W, L] per-layer total OD (IOD=1 / NetCDF)
+    full: Any = None      # ForwardResult with per-layer fields (NetCDF)
 
 
 def _active_molecules(wkl: np.ndarray, wbrodl: np.ndarray, nmol: int):
@@ -42,16 +72,13 @@ class OutputWriter:
     def __exit__(self, *exc):
         self.close()
 
-    def write_profile(self, npr: int, wn, res, state, meta, pwv, clw_col,
-                      tsfc, angle):
+    def write_profile(self, npr: int, wn, po: ProfileOutput, state, meta,
+                      pwv, clw_col, tsfc, angle):
         """One profile block (header written for every profile, as the
-        reference does).  res: ForwardResult; state/meta: profile inputs."""
+        reference does).  po: ProfileOutput (device-reduced host arrays);
+        state/meta: profile inputs."""
         wn = np.asarray(wn)
         nwn = len(wn)
-        od_by_mol = np.asarray(res.od.od_by_mol)       # [W, M, L]
-        od_total = np.asarray(res.od.od_total)         # [W, L]
-        oc = {k: np.asarray(v) for k, v in res.od.oc.items()}
-        rt = res.rt
 
         if self._ids is None:
             self._ids = _active_molecules(np.asarray(state.wkl),
@@ -78,26 +105,28 @@ class OutputWriter:
                + "".join(c.rjust(12) for c in cmol) + "XSEC_OD".rjust(12))
         f.write(hdr + "\n")
 
-        # integrated per-molecule OD: lines + continuum (monortm_sub.F90:649-656)
+        # integrated per-molecule OD: lines + continuum, reduced over
+        # layers on device (monortm_sub.F90:649-656)
         cont_of = {0: "h2o", 1: "co2", 2: "o3", 6: "o2", 21: "n2"}
-        otot = od_total.sum(axis=-1)                  # [W]
-        odx = (np.asarray(res.od.od_xsec).sum(axis=0)
-               if res.od.od_xsec is not None else np.zeros(nwn))
-        tb = np.asarray(rt.tb)
-        tmr = np.asarray(rt.tmr)
-        rad = np.asarray(rt.rad)
-        trt = np.asarray(rt.trtot)
-        emis = np.asarray(res.emis)
-        refl = np.asarray(res.refl)
+        otot = np.asarray(po.otot)                    # [W]
+        odx = (np.asarray(po.odx) if po.odx is not None
+               else np.zeros(nwn))
+        bm = np.asarray(po.by_mol)                    # [W, M]
+        tb = np.asarray(po.tb)
+        tmr = np.asarray(po.tmr)
+        rad = np.asarray(po.rad)
+        trt = np.asarray(po.trtot)
+        emis = np.asarray(po.emis)
+        refl = np.asarray(po.refl)
 
         by_mol = np.zeros((len(ids), nwn))
         for k, im in enumerate(ids):
             # molecules beyond the profile's nmol (e.g. N2 implied by
             # WBRODL) have no line OD slot — continuum only
-            if im < od_by_mol.shape[1]:
-                by_mol[k] = od_by_mol[:, im, :].sum(axis=-1)
+            if im < bm.shape[1]:
+                by_mol[k] = bm[:, im]
             if im in cont_of:
-                by_mol[k] += oc[cont_of[im]].sum(axis=0)
+                by_mol[k] += np.asarray(po.oc[cont_of[im]])
 
         for iw in range(nwn):
             # row format 21 (monortm_sub.F90:781-782)

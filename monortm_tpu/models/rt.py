@@ -121,3 +121,74 @@ def calctmr(od, t, tz, wn):
     _, _, _, sumexp_dn, odtot = rad_up_dn(od, t, tz, wn)
     radtmr = jnp.sum(sumexp_dn, axis=-1) / (-jnp.expm1(-odtot))
     return brightness_temperature(wn, radtmr)
+
+
+class RTParts(NamedTuple):
+    """Device outputs of the O(W x L) path-radiance recurrences; the O(W)
+    boundary combine happens on host (see combine_boundary_np)."""
+    rup: jnp.ndarray      # upwelling path radiance   [..., nwn]
+    rdn: jnp.ndarray      # downwelling path radiance [..., nwn]
+    trtot: jnp.ndarray    # total transmittance       [..., nwn]
+    radtmr: jnp.ndarray   # mean-radiating-temperature radiance [..., nwn]
+
+
+def rt_parts(od, t, tz, wn) -> RTParts:
+    """The layer-recurrence half of rtm: everything that needs the
+    [..., W, L] optical depths.  Used by the pipeline so only O(W)
+    arrays ever leave the device."""
+    rup, rdn, trtot, sumexp_dn, odtot = rad_up_dn(od, t, tz, wn)
+    radtmr = jnp.sum(sumexp_dn, axis=-1) / (-jnp.expm1(-odtot))
+    return RTParts(rup=rup, rdn=rdn, trtot=trtot, radtmr=radtmr)
+
+
+def combine_boundary_np(wn, rup, rdn, trtot, radtmr, tsfc, emis, refl,
+                        irt: int, dtype=None, tsky: float = c.TSKY):
+    """Boundary combine + Planck inversions in host NumPy.
+
+    Mirrors rtm()'s tail (RTMmono.f90:113-155) on the O(W) arrays the
+    pipeline pulls to host anyway.  Being a single NumPy program it is
+    trivially independent of the device mesh — the final ulp of RAD/Tb
+    cannot wobble with sharding-dependent FMA/fusion choices, which is
+    what keeps mesh and single-device MONORTM.OUT byte-identical.
+
+    Returns (rad, tb, tmr) as numpy arrays in `dtype` (default: the
+    dtype of rup).
+    """
+    import numpy as np
+
+    dt = np.dtype(dtype or np.asarray(rup).dtype)
+    wn = np.asarray(wn, dt)
+    rup = np.asarray(rup, dt)
+    rdn = np.asarray(rdn, dt)
+    trtot = np.asarray(trtot, dt)
+    radtmr = np.asarray(radtmr, dt)
+
+    def planck_np(t):
+        t = np.asarray(t, dt)
+        return (dt.type(c.RADCN1) * wn ** 3
+                / np.expm1(wn * (dt.type(c.RADCN2) / t)))
+
+    def tb_np(rad):
+        x = dt.type(c.RADCN1) * wn ** 3 / rad
+        return dt.type(c.RADCN2) * wn / np.log1p(x)
+
+    if irt in (2, 3):
+        tsfc = tsky
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        # T=0 boundaries legitimately drive expm1 -> inf -> planck 0,
+        # matching the jnp semantics of rtm()
+        surfrad = planck_np(tsfc)
+        cosmos = planck_np(tsky)
+        emis = np.asarray(emis, dt)
+        refl = np.asarray(refl, dt)
+
+        if irt == 1:
+            rad = rup + trtot * (emis * surfrad
+                                 + refl * (rdn + trtot * cosmos))
+        elif irt == 2:
+            rad = rup + trtot * (rdn + trtot * cosmos)
+        elif irt == 3:
+            rad = rdn + trtot * cosmos
+        else:
+            raise ValueError(f"irt must be 1, 2 or 3; got {irt}")
+        return rad, tb_np(rad), tb_np(radtmr)

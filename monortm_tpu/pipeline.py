@@ -180,7 +180,7 @@ class RunResult:
     wn: np.ndarray
     tb: list          # per profile [W]
     rad: list
-    results: list     # per profile ForwardResult
+    results: list     # per profile io.output.ProfileOutput
 
 
 def _index_tree(x, i):
@@ -316,22 +316,33 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     if mesh == "auto":
         mesh = _auto_mesh(nprof)
     n_prof_shards = mesh.shape["prof"] if mesh is not None else 1
+    n_wn_shards = mesh.shape["wn"] if mesh is not None else 1
+    # multi-controller (jax.distributed) runs execute this same function
+    # on every process: device arrays are assembled from process-local
+    # shards, results are all-gathered, and only process 0 writes files
+    # (the reference's serial profile loop, monortm.f90:357, spread over
+    # the DCN axis)
+    nprocs = jax.process_count()
+    is_main = jax.process_index() == 0
 
     # TAPE7 (IPUNCH=1 on record 3.1, lblatm.f90:1264-1340): the layering
     # output in MONORTM_PROF.IN-compatible form — the reference's
     # checkpoint artifact for IATM=0 re-runs
     punched = [p for p in profiles if getattr(p, "ipunch", 0) == 1]
-    if punched:
+    if punched and is_main:
         from monortm_tpu.io.tape7 import write_tape7
         write_tape7(Path(outdir) / "TAPE7", punched, xid=cfg.xid)
 
     model_cache: dict[int, MonoRTM] = {}
     out = RunResult(wn=wn, tb=[], rad=[], results=[])
-    writer = OutputWriter(Path(outdir) / fileout)
+    import os as _os
+    writer = OutputWriter(Path(outdir) / fileout if is_main
+                          else _os.devnull)
 
     # MONORTM.LOG (unit IPR=66 in the reference, monortm.f90:322-325):
     # control-record echo, line-file stats, per-profile notes
-    log = open(Path(outdir) / "MONORTM.LOG", "w")
+    log = open(Path(outdir) / "MONORTM.LOG" if is_main else _os.devnull,
+               "w")
     log.write(" HIRAC    CNTNM    EMISS     PLOT     IATM      IOD"
               "    XSECT     ISPD     IBRD\n")
     log.write(f"{cfg.ihirac:5d}{cfg.icntnm:9d}{cfg.iemit:9d}"
@@ -469,8 +480,7 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     # jnp.asarray dispatches an eager convert_element_type on the device
     # (an extra compile round trip on remote-compile backends)
     npdt = np.dtype(jnp.dtype(dtype).name)
-    emis_d = jnp.asarray(np.asarray(emis, npdt))
-    refl_d = jnp.asarray(np.asarray(refl, npdt))
+    wn_dev = jnp.asarray(np.asarray(wn, npdt))
     jit_cache: dict[tuple, Any] = {}
     results: list = [None] * len(prepped)
 
@@ -481,28 +491,134 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             # profile batch axis over "prof", everything else replicated;
             # the wn axis is split inside the model (shard_map over "wn")
             spec = P("prof", *(None,) * (x.ndim - 1))
-            return jax.device_put(x, NamedSharding(mesh, spec))
+            sh = NamedSharding(mesh, spec)
+            if nprocs > 1:
+                # multi-controller: every process holds the same host
+                # stack; each uploads only its addressable shards (the
+                # callback is invoked per local device index only)
+                x = np.asarray(x)
+                return jax.make_array_from_callback(x.shape, sh,
+                                                    lambda i: x[i])
+            return jax.device_put(x, sh)
     else:
         put_prof = jnp.asarray
 
-    # The device work is two jits: the OD stage (the hot line/continuum
-    # sweep — mesh-sharded over (prof, wn) when a mesh is active) and the
-    # RT stage (O(W x L) recurrence — always the same single-device
-    # program, so mesh and non-mesh runs produce bitwise-identical
-    # RAD/TMR/Tb; the OD stage is bitwise under the mesh by construction).
+    # The device work is two jits, both living on the (prof, wn) mesh
+    # when one is active.  The OD stage (the hot line/continuum sweep)
+    # also reduces everything the writer prints over the layer axis *on
+    # device*, so the default path transfers only O(B x W) arrays to
+    # host; per-layer arrays come back only for IOD=1 / NetCDF.  The RT
+    # stage consumes the sharded OD directly (no de-shard round trip).
+    #
+    # Bitwise mesh-independence (asserted by tests/test_pipeline_mesh.py)
+    # is preserved the same way the line engine does it: fixed-shape
+    # blocked execution.  A plain jnp.sum / whole-array RT lets XLA pick
+    # shape-dependent reduction orders, FMA contractions and
+    # transcendental code paths per shard, wobbling the last ulp; here
+    # every layer reduction is an order-fixed lax.scan, the RT
+    # recurrences run per (profile, wn-tile) block so the per-element
+    # program is identical under any mesh, and the final O(W) boundary
+    # combine + Planck inversion happen in host NumPy on the arrays the
+    # writer pulls anyway (combine_boundary_np).
+    # Reference analog: per-wn independence of RTM, RTMmono.f90:177.
     from monortm_tpu.models.monortm import ForwardResult
-    from monortm_tpu.models.rt import rtm
-    wn_dev = jnp.asarray(np.asarray(wn, npdt))
+    from monortm_tpu.models.rt import (RTResult, combine_boundary_np,
+                                       rt_parts)
 
-    def _rt_fn(r):
-        def f(odt, t, tz, tsfc):
-            return rtm(odt, t[..., None, :], tz[..., None, :], wn_dev,
-                       tsfc, emis_d, refl_d, r)
+    def _lsum(x, axis=-1):
+        """Layer sum in a fixed sequential order (elementwise adds are
+        exact-rounded, so the result cannot depend on the sharding)."""
+        xm = jnp.moveaxis(x, axis, 0)
+        out, _ = jax.lax.scan(lambda c, xl: (c + xl, None),
+                              jnp.zeros(xm.shape[1:], x.dtype), xm)
+        return out
+
+    # RT tiling geometry: tile count padded to a multiple of the mesh's
+    # wn axis so each shard sweeps whole tiles; pad lanes carry a benign
+    # wn=1.0 / od=0 and are cropped after the sweep
+    nwn = len(wn)
+    wt_rt = min(128, max(1, nwn))
+    n_rt_tiles = -(-nwn // wt_rt)
+    n_rt_tiles = -(-n_rt_tiles // n_wn_shards) * n_wn_shards
+    wp_rt = n_rt_tiles * wt_rt
+    _wn_rt = np.full(wp_rt, 1.0, np.float64)
+    _wn_rt[:nwn] = wn
+    wn_rt = jnp.asarray(_wn_rt.astype(npdt).reshape(n_rt_tiles, wt_rt))
+
+    def _rt_parts_fn():
+        def blocked(od4, t, tz, wnt):
+            # od4 [b, nt, wt, L]; t [b, L]; tz [b, L+1]; wnt [nt, wt] —
+            # nt/b are this shard's local counts, the per-tile body
+            # below always sees the same [wt, L] shapes
+            def per_prof(args):
+                od3, t_l, tz_l = args
+                return jax.lax.map(
+                    lambda a: rt_parts(a[0], t_l[None, :],
+                                       tz_l[None, :], a[1]),
+                    (od3, wnt))
+            return jax.lax.map(per_prof, (od4, t, tz))
+
+        def f(odt, t, tz):
+            b, nlay = odt.shape[0], odt.shape[-1]
+            od4 = jnp.pad(odt, ((0, 0), (0, wp_rt - odt.shape[1]),
+                                (0, 0)))
+            od4 = od4.reshape(b, n_rt_tiles, wt_rt, nlay)
+            if mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                res = shard_map(
+                    blocked, mesh=mesh,
+                    in_specs=(P("prof", "wn", None, None),
+                              P("prof", None), P("prof", None),
+                              P("wn", None)),
+                    out_specs=P("prof", "wn", None),
+                )(od4, t, tz, wn_rt)
+            else:
+                res = blocked(od4, t, tz, wn_rt)
+            return jax.tree_util.tree_map(
+                lambda v: v.reshape(v.shape[0], -1)[:, :nwn], res)
+        return jax.jit(f)
+
+    def _od_fn(model, keep_full: bool):
+        def f(s, ox, oclw):
+            od = model.od_model(s, od_xsec=ox, od_clw_in=oclw)
+            # layer reductions in the OD jit: the [B,W,M,L] per-molecule
+            # array stays on device (peak HBM is unchanged — the line
+            # engine materializes it either way) and only the [B,W,M]
+            # sums cross PCIe unless the NetCDF path asks for the full
+            # array (keep_full)
+            red = dict(otot=_lsum(od.od_total),
+                       by_mol=_lsum(od.od_by_mol),
+                       oc={k: _lsum(v, axis=-2)
+                           for k, v in od.oc.items()})
+            if od.od_xsec is not None:
+                red["odx"] = _lsum(od.od_xsec, axis=-2)
+            return od.od_total, red, (od if keep_full else None)
         return jax.jit(f)
 
     from monortm_tpu.ops.cloud import od_clw as _od_clw
     clw_fn = jax.jit(lambda t, c: _od_clw(wn_dev, t[..., None],
                                           c[..., None]))
+
+    from monortm_tpu.io.output import ProfileOutput
+    keep_layers = cfg.iod == 1 or netcdf
+    host_bytes = [0]
+
+    def pull(x):
+        """Device -> host with transfer-byte accounting (the LOG line
+        proves the default path never hauls a per-layer array).  In a
+        multi-controller run the sharded result is all-gathered so every
+        process sees the full arrays (only process 0 writes files)."""
+        if x is None:
+            return None
+        if (nprocs > 1 and isinstance(x, jax.Array)
+                and not x.is_fully_addressable):
+            from jax.experimental import multihost_utils
+            a = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        else:
+            a = np.asarray(x)
+        host_bytes[0] += a.nbytes
+        return a
 
     with profile_trace(profile_dir):
         for (nlay, irt, nmol, has_x), idxs in groups.items():
@@ -514,12 +630,10 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                     mesh=mesh)
             model = model_cache[nmol]
             if nmol not in jit_cache:
-                jit_cache[nmol] = jax.jit(
-                    lambda s, ox, oclw, m=model:
-                    m.od_model(s, od_xsec=ox, od_clw_in=oclw))
-            if ("rt", irt) not in jit_cache:
-                jit_cache[("rt", irt)] = _rt_fn(irt)
-            od_fn, rt_fn = jit_cache[nmol], jit_cache[("rt", irt)]
+                jit_cache[nmol] = _od_fn(model, keep_full=netcdf)
+            if "rt" not in jit_cache:
+                jit_cache["rt"] = _rt_parts_fn()
+            od_fn, rt_fn = jit_cache[nmol], jit_cache["rt"]
 
             bmax = _max_batch(len(wn), nlay, nmol, n_prof_shards)
             for c0 in range(0, len(idxs), bmax):
@@ -550,18 +664,41 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                     ox = put_prof(nstack(lambda p: p["od_xsec"]))
 
                 with timer.stage("device-forward"):
-                    od = od_fn(state_d, ox, oclw)
-                    odt = od.od_total
-                    if mesh is not None:
-                        # host round trip de-shards the OD so the RT jit
-                        # sees the exact single-device program/operands
-                        odt = jnp.asarray(np.asarray(odt))
-                    rt = rt_fn(odt, jnp.asarray(t_np),
-                               jnp.asarray(tz_np), jnp.asarray(tsfc_np))
-                    jax.block_until_ready(rt.tb)
-                res = ForwardResult(rt=rt, od=od, emis=emis_d, refl=refl_d)
+                    odt, red, odfull = od_fn(state_d, ox, oclw)
+                    parts = rt_fn(odt, state_d.t, state_d.tz)
+                    jax.block_until_ready(parts.rup)
+                with timer.stage("device->host"):
+                    parts_h = jax.tree_util.tree_map(pull, parts)
+                    red_h = jax.tree_util.tree_map(pull, red)
+                    odt_h = pull(odt) if keep_layers else None
+                    od_h = (jax.tree_util.tree_map(pull, odfull)
+                            if netcdf and odfull is not None else None)
+                # O(W) boundary combine + Planck inversion on host: a
+                # single NumPy program, so RAD/Tb/TMR cannot pick up
+                # sharding-dependent fusion wobble (models/rt.py)
+                rad_h, tb_h, tmr_h = combine_boundary_np(
+                    wn, parts_h.rup, parts_h.rdn, parts_h.trtot,
+                    parts_h.radtmr, tsfc_np, emis, refl, irt, dtype=npdt)
+                full_h = None
+                if od_h is not None:
+                    full_h = ForwardResult(
+                        rt=RTResult(rad=rad_h, tb=tb_h, rup=parts_h.rup,
+                                    rdn=parts_h.rdn, trtot=parts_h.trtot,
+                                    tmr=tmr_h),
+                        od=od_h, emis=emis, refl=refl)
                 for bi, i in enumerate(chunk):
-                    results[i] = _slice_result(res, bi)
+                    results[i] = ProfileOutput(
+                        tb=tb_h[bi], tmr=tmr_h[bi], rad=rad_h[bi],
+                        trtot=parts_h.trtot[bi], rup=parts_h.rup[bi],
+                        rdn=parts_h.rdn[bi], emis=emis, refl=refl,
+                        otot=red_h["otot"][bi],
+                        by_mol=red_h["by_mol"][bi],
+                        oc={k: v[bi] for k, v in red_h["oc"].items()},
+                        odx=(red_h["odx"][bi] if "odx" in red_h else None),
+                        od_layers=(odt_h[bi] if odt_h is not None
+                                   else None),
+                        full=(_slice_result(full_h, bi)
+                              if full_h is not None else None))
 
     # ---- write outputs in input order --------------------------------
     with writer:
@@ -572,21 +709,22 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 writer.write_profile(npr, wn, res, st, meta, pr["pwv"],
                                      pr["clw_col"], pr["tbound"],
                                      meta.angle)
-            if cfg.iod == 1:
-                writer.write_layer_ods(npr, wn, res.od.od_total, outdir)
-            if netcdf:  # USENETCDF build option (monortm_sub.F90:698-778)
+            if cfg.iod == 1 and is_main:
+                writer.write_layer_ods(npr, wn, res.od_layers, outdir)
+            if netcdf and is_main:  # USENETCDF (monortm_sub.F90:698-778)
                 from monortm_tpu.io.output import write_netcdf
                 write_netcdf(Path(outdir) / f"MONORTM.{npr:05d}.nc", npr,
-                             wn, res, st, meta, pr["pwv"], pr["clw_col"],
-                             pr["tbound"], meta.angle)
+                             wn, res.full, st, meta, pr["pwv"],
+                             pr["clw_col"], pr["tbound"], meta.angle)
 
-            out.tb.append(np.asarray(res.rt.tb))
-            out.rad.append(np.asarray(res.rt.rad))
+            out.tb.append(np.asarray(res.tb))
+            out.rad.append(np.asarray(res.rad))
             out.results.append(res)
             log.write(f"PROFILE {npr:5d}: NLAYRS={st.t.shape[-1]:4d} "
                       f"ANGLE={meta.angle:8.3f} IRT={pr['irt']} "
                       f"PWV={pr['pwv']:8.4f} CLW={pr['clw_col']:8.4f}\n")
-            print(f"PROCESSING PROFILE NUMBER: {npr:5d}")
+            if is_main:
+                print(f"PROCESSING PROFILE NUMBER: {npr:5d}")
     # version-stamp tail (monortm.f90:591-619, format 1000): same layout,
     # our module identities in the A15 fields
     try:
@@ -604,6 +742,8 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
               f"modm.f           :      {a15('models.od ' + _v)}\n")
     log.write(f"     monortm_sub.f :     {a15('io.output ' + _v)}          "
               f"lblatm_monortm.f :      {a15('atmos ' + _v)}\n")
+    log.write(f" HOST PULL: {host_bytes[0]} bytes device->host "
+              f"(per-layer arrays pulled: {keep_layers})\n")
     log.write(timer.report())
     log.close()
     return out

