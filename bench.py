@@ -73,7 +73,15 @@ def main():
     import jax.tree_util as jtu
     state = jtu.tree_map(lambda x: jnp.asarray(x, jnp.float32), state)
 
-    fn = jax.jit(lambda s: model.tb(s, tsfc, emis, refl, irt=3))
+    # production engine dispatch (mirrors pipeline.run): in the
+    # all-Lorentz regime the lean XLA sweep beats the Pallas kernel's
+    # per-grid-step floor (ops/linesum_lorentz.py, BENCH_NOTES.md)
+    eng = None
+    if model.od_model.use_pallas:
+        if bool(jax.jit(model.od_model.all_lorentz)(state)):
+            eng = "lorentz-xla"
+    fn = jax.jit(lambda s: model.tb(s, tsfc, emis, refl, irt=3,
+                                    engine=eng))
     fn(state).block_until_ready()          # compile + warm
 
     iters = 5

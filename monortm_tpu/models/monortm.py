@@ -45,7 +45,8 @@ class MonoRTM:
                  wn_tile: int = 128, line_tile: int = 4096,
                  use_pallas: bool | None = None,
                  pallas_wn_tile: int = 128, pallas_line_tile: int = 256,
-                 pallas_layer_tile: int = 1,
+                 pallas_layer_tile: int = 1, pallas_wsub: int = 1,
+                 pallas_engine: str = "pallas",
                  mesh=None):
         self.wn = np.asarray(wn, np.float64)
         self.dtype = dtype
@@ -58,16 +59,18 @@ class MonoRTM:
                                 pallas_wn_tile=pallas_wn_tile,
                                 pallas_line_tile=pallas_line_tile,
                                 pallas_layer_tile=pallas_layer_tile,
+                                pallas_wsub=pallas_wsub,
+                                pallas_engine=pallas_engine,
                                 mesh=mesh)
 
     def forward(self, state: LayerState, tsfc, emis, refl, irt: int,
-                od_xsec=None) -> ForwardResult:
+                od_xsec=None, engine: str | None = None) -> ForwardResult:
         """Complete forward computation for one (batched) profile set.
 
         tsfc: scalar or [...] surface temperature; emis/refl: [W] or
         [..., W] boundary spectra; irt: 1 up / 2 limb / 3 down (static).
         """
-        od = self.od_model(state, od_xsec=od_xsec)
+        od = self.od_model(state, od_xsec=od_xsec, engine=engine)
         wn_d = jnp.asarray(self.wn, self.dtype)
         od_total = od.od_total
         if self.mesh is not None and jnp.ndim(od_total) == 3:
@@ -86,6 +89,7 @@ class MonoRTM:
         return ForwardResult(rt=rt, od=od, emis=emis, refl=refl)
 
     def tb(self, state: LayerState, tsfc, emis, refl, irt: int,
-           od_xsec=None):
+           od_xsec=None, engine: str | None = None):
         """Brightness temperatures only (jit-friendly thin wrapper)."""
-        return self.forward(state, tsfc, emis, refl, irt, od_xsec).rt.tb
+        return self.forward(state, tsfc, emis, refl, irt, od_xsec,
+                            engine=engine).rt.tb

@@ -54,7 +54,8 @@ class ODModel:
                  wn_tile: int = 128, line_tile: int = 4096,
                  use_pallas: bool | None = None,
                  pallas_wn_tile: int = 128, pallas_line_tile: int = 256,
-                 pallas_layer_tile: int = 1,
+                 pallas_layer_tile: int = 1, pallas_wsub: int = 1,
+                 pallas_engine: str = "pallas",
                  mesh=None):
         self.wn64 = np.asarray(wn, np.float64)
         self.nwn = len(self.wn64)
@@ -109,7 +110,9 @@ class ODModel:
 
         self._build_line_tiles(catalog, line_tile)
         if self.use_pallas:
+            self.pallas_engine = pallas_engine
             self.pallas_lt = int(pallas_layer_tile)
+            self.pallas_wsub = int(pallas_wsub)
             self._build_pallas_plan(catalog, nt=pallas_line_tile,
                                     wt=pallas_wn_tile)
 
@@ -280,7 +283,8 @@ class ODModel:
         self.pallas_cand_map = cmap
         self.pallas_cand_valid = cvalid
 
-    def line_od_pallas(self, state: LayerState, scor_flat):
+    def line_od_pallas(self, state: LayerState, scor_flat,
+                       engine: str | None = None):
         """Line OD via the Pallas kernel: [..., L, W, M].
 
         Leading batch axes are flattened into the kernel's layer grid
@@ -295,15 +299,26 @@ class ODModel:
 
         flat = lambda a, trail: jnp.asarray(a, self.dtype).reshape(
             (-1,) + trail)
-        sf = line_od_pallas(
-            self.pallas_cat, self.pallas_wn_hi, self.pallas_wn_lo,
-            self.pallas_cand_map, self.pallas_cand_valid,
-            self.pallas_nt, self.pallas_wt,
-            flat(state.p, ()), flat(state.t, ()),
-            flat(state.wkl, (state.wkl.shape[-1],)),
-            flat(state.wbrodl, ()),
-            scor_flat.reshape(-1, scor_flat.shape[-1]),
-            self.line_cfg, self.nmol, mesh=self.mesh, lt=self.pallas_lt)
+        flat_args = (flat(state.p, ()), flat(state.t, ()),
+                     flat(state.wkl, (state.wkl.shape[-1],)),
+                     flat(state.wbrodl, ()),
+                     scor_flat.reshape(-1, scor_flat.shape[-1]))
+        if (engine or self.pallas_engine) == "lorentz-xla":
+            # all-Lorentz XLA sweep over the same block-sparse plan
+            # (exact when zeta > 0.99 everywhere; ops/linesum_lorentz.py)
+            from monortm_tpu.ops.linesum_lorentz import line_od_lorentz_xla
+            sf = line_od_lorentz_xla(
+                self.pallas_cat, self.pallas_wn_hi, self.pallas_wn_lo,
+                self.pallas_cand_map, self.pallas_cand_valid,
+                self.pallas_nt, self.pallas_wt, *flat_args,
+                cfg=self.line_cfg, n_mol=self.nmol, mesh=self.mesh)
+        else:
+            sf = line_od_pallas(
+                self.pallas_cat, self.pallas_wn_hi, self.pallas_wn_lo,
+                self.pallas_cand_map, self.pallas_cand_valid,
+                self.pallas_nt, self.pallas_wt, *flat_args,
+                cfg=self.line_cfg, n_mol=self.nmol, mesh=self.mesh,
+                lt=self.pallas_lt, wsub=self.pallas_wsub)
         sf = sf.reshape(lead + sf.shape[1:])[..., :self.nwn, :]
 
         # od = RFT * W_species * SF (modm.f90:436-438)
@@ -438,8 +453,26 @@ class ODModel:
         return out[..., :self.nwn, :]
 
     # ------------------------------------------------------------------
+    def all_lorentz(self, state: LayerState, scor_flat=None):
+        """Device scalar: True iff every valid (layer, line) pair takes
+        the Lorentz branch (zeta > 0.99, modm.f90:427) — the regime in
+        which the all-Lorentz XLA engine (ops/linesum_lorentz.py) is
+        exactly equal to the full kernel.  The pipeline evaluates this
+        per profile chunk to pick the faster engine at runtime."""
+        from monortm_tpu.ops.linesum_lorentz import all_lorentz_predicate
+        from monortm_tpu.ops.tips import tips_scor
+        dtype = self.dtype
+        if scor_flat is None:
+            scor = tips_scor(jnp.asarray(state.t, dtype), dtype=dtype)
+            scor_flat = scor.reshape(scor.shape[:-2] + (39 * 9,))
+        return all_lorentz_predicate(
+            self.dev_cat, jnp.asarray(state.p, dtype),
+            jnp.asarray(state.t, dtype), jnp.asarray(state.wkl, dtype),
+            jnp.asarray(state.wbrodl, dtype), scor_flat, self.line_cfg,
+            dtype)
+
     def __call__(self, state: LayerState, od_xsec=None,
-                 od_clw_in=None) -> ODResult:
+                 od_clw_in=None, engine: str | None = None) -> ODResult:
         """Full OD computation (modm.f90:200-272).
 
         state fields carry layer axis last (after any profile batch axes).
@@ -453,7 +486,7 @@ class ODModel:
 
         # lines: [..., L, W, M] (layer axis comes from broadcasting p/t)
         if self.use_pallas:
-            od_lines = self.line_od_pallas(state, scor_flat)
+            od_lines = self.line_od_pallas(state, scor_flat, engine=engine)
         else:
             od_lines = self.line_od(state, scor_flat)
 

@@ -1,0 +1,182 @@
+"""All-Lorentz XLA line-sum engine (the common microwave regime).
+
+At tropospheric/stratospheric pressures in the microwave every line takes
+the Lorentz branch of the shape switch (zeta = hwc/(hwc+hwd) > 0.99,
+modm.f90:419-431): the per-evaluation kernel is a 3-term rational — no
+Humlicek/SD-Voigt machinery — so the sweep needs no Pallas at all.  This
+engine reuses the Pallas plan (nu-sorted tiles + per-wn-tile candidate
+lists from ODModel._build_pallas_plan) but expresses the sweep as
+lax.map over wavenumber tiles x lax.scan over candidate tiles in plain
+XLA, whose own software pipelining is not subject to the Pallas
+~2 us/grid-step floor documented in BENCH_NOTES.md.
+
+EXACTNESS: results equal the full engine whenever zeta > 0.99 for every
+(layer, line) — the full kernel routes every lane through the identical
+Lorentz expressions then.  Callers must check that predicate (e.g.
+`all_lorentz_predicate`) before selecting this engine; tests compare it
+against the dense XLA engine on all-Lorentz states.
+
+Replaces the LINES triple loop for the Lorentz regime,
+modm.f90:253-431 (LSF_LORTZ branch trees modm.f90:567-700).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monortm_tpu.ops.lineshape import DELTNU_CUT, LineConfig, line_params
+from monortm_tpu.ops.linesum_pallas import PER_L, PER_LN, precompute
+
+
+def all_lorentz_predicate(cat: dict, p, t, wk, wbrod, scor_flat,
+                          cfg: LineConfig, dtype=jnp.float32):
+    """Device scalar: True iff zeta > 0.99 for every valid (layer, line)
+    — the condition under which the Lorentz-only engine is exact."""
+    lp = line_params(cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
+    hwc, hwd = lp["hwhm_c"], lp["hwhm_d"]
+    zeta_ok = hwc * jnp.asarray(0.01, dtype) > hwd * jnp.asarray(0.99, dtype)
+    valid = jnp.asarray(cat["valid"])
+    return jnp.all(zeta_ok | ~valid)
+
+
+def line_od_lorentz_xla(tiled_cat: dict, wn_hi: np.ndarray,
+                        wn_lo: np.ndarray, cand_map, cand_valid,
+                        nt: int, wt: int,
+                        p, t, wk, wbrod, scor_flat,
+                        cfg: LineConfig, n_mol: int, mesh=None):
+    """Lorentz-only shape-function sum on [L, Wp, n_mol].
+
+    Same contract as ops.linesum_pallas.line_od_pallas (flat layer axis,
+    padded wn grid, candidate maps over the tiled catalog); callers
+    apply RFT * W_species and crop the wn padding.
+
+    mesh: optional (prof, wn) jax.sharding.Mesh — the sweep then runs
+    under shard_map with the wn tiles split over "wn" and the flat layer
+    axis over "prof"; the per-tile body is the identical fixed-shape
+    program either way, so results are bitwise mesh-independent (the
+    same blocked-execution argument as the Pallas kernel and the
+    pipeline's RT stage).
+    """
+    dtype = jnp.float32
+    pre = precompute(tiled_cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
+    L = pre["stild"].shape[0]
+    n = pre["stild"].shape[-1]
+    k_tiles = n // nt
+
+    # tile-major layouts for the candidate gathers: per-line [K, nt],
+    # per-(layer, line) [K, L, nt]
+    def tile_l(v):
+        return jnp.asarray(v).reshape(k_tiles, nt)
+
+    def tile_ln(v):
+        v = jnp.broadcast_to(v, (L, n)) if v.ndim == 1 else v
+        return jnp.moveaxis(v.reshape(L, k_tiles, nt), 1, 0)
+
+    per_l = {k: tile_l(pre[k]) for k in PER_L}
+    per_ln = {k: tile_ln(pre[k]) for k in PER_LN}
+    flags = {k: tile_l(v) for k, v in pre["flags"].items()}
+    onehot = jax.nn.one_hot(tiled_cat["mol"] - 1, n_mol,
+                            dtype=dtype).reshape(k_tiles, nt, n_mol)
+
+    wp = len(wn_hi)
+    n_wt = wp // wt
+    wn_hi_t = jnp.asarray(wn_hi, dtype).reshape(n_wt, wt)
+    wn_lo_t = jnp.asarray(wn_lo, dtype).reshape(n_wt, wt)
+    cm = jnp.asarray(cand_map, jnp.int32)
+    cv = jnp.asarray(cand_valid, jnp.int32)
+
+    d25 = jnp.asarray(DELTNU_CUT, dtype)
+    inv_pi = jnp.asarray(1.0 / np.pi, dtype)
+
+    def one_wtile(args, per_ln_, vma=()):
+        wn_h, wn_l, cm_row, cv_row = args            # [wt], [C]
+        wn_h = wn_h[None, :, None]                   # [1, wt, 1]
+        wn_l = wn_l[None, :, None]
+
+        def body(acc, slot):
+            k, ok = slot
+            g_l = {kk: v[k][None, None, :] for kk, v in per_l.items()}
+            g_ln = {kk: v[k][:, None, :] for kk, v in per_ln_.items()}
+            g_f = {kk: flags[kk][k][None, None, :] > 0.5 for kk in flags}
+
+            shift, stild = g_ln["shift"], g_ln["stild"]
+            hw, ya, yb = g_ln["hw"], g_ln["ya"], g_ln["yb"]
+            nu_hi, nu_lo = g_l["nu_hi"], g_l["nu_lo"]
+
+            xnu = nu_hi + (nu_lo + shift)            # [L, 1, nt]
+            d1 = (wn_h - nu_hi) + (wn_l - nu_lo) - shift   # [L, wt, nt]
+            dsum = wn_h + xnu
+
+            mirror = (dsum - d25) <= 0.0
+            within = jnp.abs(d1) <= d25
+            is_o2, is_co2 = g_f["o2"], g_f["co2"]
+            has_cpl, xf1, xf15 = g_f["cpl"], g_f["xf1"], g_f["xf15"]
+            keep = (within | is_o2) & g_f["valid"]
+
+            # one divide per evaluation (the Lorentz 3-term rational)
+            hw_pi = hw * inv_pi
+            hw2 = hw * hw
+            k1 = hw_pi / (hw2 + d1 * d1)
+            k2 = hw_pi / (hw2 + dsum * dsum)
+            k3 = hw_pi / (hw2 + d25 * d25)
+
+            y1 = 1.0 + ya * d1 + yb
+            y2 = 1.0 - ya * dsum + yb
+            y1p = 1.0 + ya * d25 + yb
+            y2p = 1.0 - ya * d25 + yb
+            ped = 2.0 - (d1 * d1) / (d25 * d25)
+
+            sls_other = jnp.where(
+                has_cpl,
+                y1 * k1 - y1p * k3
+                + jnp.where(mirror, y2 * k2 - y2p * k3, 0.0),
+                k1 - k3 + jnp.where(mirror, k2 - k3, 0.0))
+            sls_o2 = jnp.where(
+                has_cpl,
+                jnp.where(xf1, k1 * y1 + k2 * y2, k1 + k2),
+                jnp.where(within, k1 + jnp.where(mirror, k2, 0.0), 0.0))
+            xp4 = k3 * ped
+            sls_co2 = jnp.where(
+                has_cpl,
+                jnp.where(xf15, k1 * y1 - xp4 - k3 * ((y1 - 1.0) * ped),
+                          k1 - xp4),
+                k1 - xp4)
+            sls = jnp.where(is_o2, sls_o2,
+                            jnp.where(is_co2, sls_co2, sls_other))
+
+            contrib = jnp.where(keep, sls, 0.0) * stild
+            part = jnp.einsum("lwn,nm->lwm", contrib, onehot[k],
+                              preferred_element_type=dtype)
+            return acc + jnp.where(ok > 0, part, 0.0), None
+
+        l_loc = next(iter(per_ln_.values())).shape[1]
+        acc0 = jnp.zeros((l_loc, wt, n_mol), dtype)
+        if vma:
+            acc0 = jax.lax.pcast(acc0, vma, to="varying")
+        acc, _ = jax.lax.scan(body, acc0, (cm_row, cv_row))
+        return acc
+
+    if mesh is not None and mesh.devices.size > 1 \
+            and dict(mesh.shape).get("line", 1) == 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        vma = ("prof", "wn")
+
+        def sweep(wns, cm_, cv_, pln):
+            return jax.lax.map(lambda a: one_wtile(a, pln, vma=vma),
+                               (wns[0], wns[1], cm_, cv_))
+
+        pln_spec = {k: P(None, "prof", None) for k in per_ln}
+        tiles = shard_map(
+            sweep, mesh=mesh,
+            in_specs=((P("wn", None), P("wn", None)),
+                      P("wn", None), P("wn", None), pln_spec),
+            out_specs=P("wn", "prof", None, None),
+        )((wn_hi_t, wn_lo_t), cm, cv, per_ln)
+    else:
+        tiles = jax.lax.map(lambda a: one_wtile(a, per_ln),
+                            (wn_hi_t, wn_lo_t, cm, cv))
+    # [n_wt, L, wt, M] -> [L, Wp, M]
+    return jnp.moveaxis(tiles, 0, 1).reshape(L, wp, n_mol)

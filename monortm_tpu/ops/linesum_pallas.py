@@ -92,9 +92,15 @@ def _kernel(cmap_ref, cvalid_ref,
             nu_hi_ref, nu_lo_ref, sdep_ref,
             shift_ref, stild_ref, hw_ref, ad_ref, k3v_ref, ya_ref, yb_ref,
             fo2_ref, fco2_ref, fcpl_ref, fxf1_ref, fxf15_ref, fval_ref,
-            onehot_ref, out_ref, *, gate: bool, lt: int):
+            onehot_ref, out_ref, *, gate: bool, lt: int, wsub: int):
     i = pl.program_id(1)       # wavenumber tile
     j = pl.program_id(2)       # candidate slot
+    # wsub > 1 packs several 128-lane wn sub-tiles into one grid step
+    # (fewer steps -> less of the ~2 us/step grid/DMA floor, BENCH_NOTES)
+    # while every [W, Nt] intermediate stays at the 128-lane shape that
+    # avoids the big-block Mosaic penalty; the sub-tile walk below is a
+    # static unroll over lane-aligned slices
+    wtc = wn_hi_ref.shape[1] // wsub
 
     @pl.when(j == 0)
     def _():
@@ -102,8 +108,6 @@ def _kernel(cmap_ref, cvalid_ref,
 
     @pl.when(cvalid_ref[i, j] > 0)
     def _compute():
-        wn_hi = wn_hi_ref[0, :][:, None]       # [W, 1]
-        wn_lo = wn_lo_ref[0, :][:, None]
         nu_hi = nu_hi_ref[0, :][None, :]       # [1, Nt]
         nu_lo = nu_lo_ref[0, :][None, :]
         sdep = sdep_ref[0, :][None, :]
@@ -120,7 +124,7 @@ def _kernel(cmap_ref, cvalid_ref,
         # the per-line/wn/flag blocks plus the one-hot are loaded once
         # per lt layers.  The layer walk below is a static unroll; each
         # iteration is the exact computation of the unpacked kernel.
-        for q in range(lt):
+        for q, pw in [(q, pw) for q in range(lt) for pw in range(wsub)]:
             shift = shift_ref[0, q, :][None, :]
             stild = stild_ref[0, q, :][None, :]
             hw = hw_ref[0, q, :][None, :]
@@ -128,6 +132,8 @@ def _kernel(cmap_ref, cvalid_ref,
             k3v = k3v_ref[0, q, :][None, :]
             ya = ya_ref[0, q, :][None, :]
             yb = yb_ref[0, q, :][None, :]
+            wn_hi = wn_hi_ref[0, pw * wtc:(pw + 1) * wtc][:, None]
+            wn_lo = wn_lo_ref[0, pw * wtc:(pw + 1) * wtc][:, None]
 
             xnu = nu_hi + (nu_lo + shift)
             d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift      # [W, Nt]
@@ -214,8 +220,9 @@ def _kernel(cmap_ref, cvalid_ref,
 
             contrib = jnp.where(keep, sls, 0.0) * stild
 
-            out_ref[0, q, :, :] += jnp.dot(contrib, onehot_ref[...],
-                                           preferred_element_type=jnp.float32)
+            out_ref[0, q, pw * wtc:(pw + 1) * wtc, :] += jnp.dot(
+                contrib, onehot_ref[...],
+                preferred_element_type=jnp.float32)
 
 
 def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
@@ -225,7 +232,7 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                    cfg: LineConfig, n_mol: int,
                    gate: bool = True,
                    interpret: bool | None = None,
-                   mesh=None, lt: int = 1):
+                   mesh=None, lt: int = 1, wsub: int = 1):
     """Line shape-function sum on [L, W, n_mol] via the Pallas kernel.
 
     tiled_cat: device catalog whose line axis is the *tiled* order
@@ -267,6 +274,9 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
 
     wp = len(wn_hi)
     assert wp % wt == 0, (wp, wt)
+    # wsub sub-tiles per step: the wn block stays wt wide but in-kernel
+    # compute runs in wt/wsub-lane slices (128-aligned)
+    assert wt % (128 * wsub) == 0, (wt, wsub)
     n_wt = wp // wt
     n_cand = cand_map.shape[1]
     assert cand_map.shape == (n_wt, n_cand), (cand_map.shape, n_wt)
@@ -314,7 +324,7 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                                    lambda l, i, j, cm, cv: (l, 0, i, 0)),
         )
         return pl.pallas_call(
-            functools.partial(_kernel, gate=gate, lt=lt),
+            functools.partial(_kernel, gate=gate, lt=lt, wsub=wsub),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((lb_loc, lt, wp_loc, n_mol),
                                            jnp.float32),

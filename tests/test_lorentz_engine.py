@@ -1,0 +1,95 @@
+"""All-Lorentz XLA engine (ops/linesum_lorentz.py): exactness predicate,
+equality with the dense XLA engine in the Lorentz regime, and the
+fixed-shape mesh path.
+
+The engine is the documented Pallas-floor lifter for the common
+microwave regime (BENCH_NOTES.md; modm.f90:419-431): at zeta > 0.99
+every lane of the full kernel takes the identical Lorentz expressions,
+so the lean sweep must agree to f32 roundoff.  pipeline.run selects it
+per chunk via ODModel.all_lorentz on TPU backends.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monortm_tpu.models.od import ODModel
+from monortm_tpu.parallel.sharding import make_mesh
+from monortm_tpu.testing import synthetic_catalog_mw, synthetic_state
+from monortm_tpu.types import LayerState
+
+
+def _state(p_top, nlay=4, batch=None):
+    st = synthetic_state(nlay=nlay, batch=batch)
+    p = np.geomspace(1000.0, p_top, nlay)
+    if batch:
+        p = np.broadcast_to(p, (batch, nlay))
+    st = LayerState(p=p, t=st.t, tz=st.tz, wkl=st.wkl,
+                    wbrodl=st.wbrodl, clw=st.clw)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), st)
+
+
+def _models(mesh=None, engine="pallas"):
+    wn = np.linspace(0.3, 55.0, 192)
+    cat = synthetic_catalog_mw(n_h2o=128, n_o2=64, tile=64)
+    return ODModel(wn, 0.25, cat, nmol=22, dtype=jnp.float32,
+                   wn_tile=32, line_tile=64, use_pallas=True,
+                   pallas_wn_tile=128, pallas_line_tile=128,
+                   pallas_engine=engine, mesh=mesh)
+
+
+def test_predicate_splits_regimes():
+    m = _models()
+    hi_p = _state(400.0)     # troposphere only: zeta > 0.99 everywhere
+    lo_p = _state(50.0)      # stratospheric top: Doppler matters
+    assert bool(jax.jit(m.all_lorentz)(hi_p))
+    assert not bool(jax.jit(m.all_lorentz)(lo_p))
+
+
+def test_lorentz_engine_matches_full_in_regime():
+    """Where the predicate holds, the Lorentz sweep equals both the
+    Pallas kernel (interpret mode on CPU) and the dense XLA engine."""
+    state = _state(400.0)
+    sc = jnp.ones((4, 351), jnp.float32)
+    mP = _models(engine="pallas")
+    mL = _models(engine="lorentz-xla")
+    lP = np.asarray(mP.line_od_pallas(state, sc))
+    lL = np.asarray(mL.line_od_pallas(state, sc))
+    np.testing.assert_allclose(lL, lP, rtol=2e-5, atol=1e-11)
+    lX = np.asarray(mP.line_od(state, sc))
+    np.testing.assert_allclose(lL, lX, rtol=2e-5, atol=1e-11)
+
+
+def test_engine_override_at_call_time():
+    """ODModel.__call__(engine=...) overrides the constructed engine —
+    the hook pipeline.run uses for per-chunk dispatch."""
+    state = _state(400.0)
+    m = _models(engine="pallas")
+    odP = m(state)
+    odL = m(state, engine="lorentz-xla")
+    np.testing.assert_allclose(np.asarray(odL.od_total),
+                               np.asarray(odP.od_total),
+                               rtol=2e-5, atol=1e-11)
+
+
+def test_lorentz_mesh_bitwise():
+    """The (prof, wn) shard_map path returns bitwise-identical results
+    to the unsharded sweep (fixed-shape per-tile bodies)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh(n_prof=2, n_wn=4)
+    state = _state(400.0, batch=4)
+    sharded = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("prof", *(None,) * (x.ndim - 1)))),
+        state)
+    sc = jnp.ones((4, 4, 351), jnp.float32)
+
+    m0 = _models(engine="lorentz-xla")
+    mM = _models(engine="lorentz-xla", mesh=mesh)
+    l0 = np.asarray(jax.jit(m0.line_od_pallas)(state, sc))
+    lM = np.asarray(jax.jit(mM.line_od_pallas)(sharded, sc))
+    np.testing.assert_array_equal(l0, lM)
+    out = jax.jit(mM.line_od_pallas)(sharded, sc)
+    assert len({s.device for s in out.addressable_shards}) == 8
