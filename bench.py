@@ -73,15 +73,24 @@ def main():
     import jax.tree_util as jtu
     state = jtu.tree_map(lambda x: jnp.asarray(x, jnp.float32), state)
 
-    # production engine dispatch (mirrors pipeline.run): in the
-    # all-Lorentz regime the lean XLA sweep beats the Pallas kernel's
-    # per-grid-step floor (ops/linesum_lorentz.py, BENCH_NOTES.md)
-    eng = None
+    # production engine dispatch (mirrors pipeline.run): layers in the
+    # all-Lorentz regime (zeta > 0.99 for every line) sweep through the
+    # lean XLA engine, which beats the Pallas kernel's per-grid-step
+    # floor; the rest keep the full kernel
+    # (ops/linesum_lorentz.py, BENCH_NOTES.md)
+    eng, lor_lay = None, ()
     if model.od_model.use_pallas:
-        if bool(jax.jit(model.od_model.all_lorentz)(state)):
+        rows = np.asarray(jax.jit(
+            lambda s: model.od_model.all_lorentz(s, per_layer=True)
+        )(state)).all(axis=0)
+        if rows.all():
             eng = "lorentz-xla"
-    fn = jax.jit(lambda s: model.tb(s, tsfc, emis, refl, irt=3,
-                                    engine=eng))
+        elif rows.any():
+            eng = "hybrid"
+            lor_lay = tuple(np.nonzero(rows)[0].tolist())
+    fn = jax.jit(lambda s: model.forward(s, tsfc, emis, refl, irt=3,
+                                         engine=eng,
+                                         lor_layers=lor_lay).rt.tb)
     fn(state).block_until_ready()          # compile + warm
 
     iters = 5

@@ -64,13 +64,15 @@ class MonoRTM:
                                 mesh=mesh)
 
     def forward(self, state: LayerState, tsfc, emis, refl, irt: int,
-                od_xsec=None, engine: str | None = None) -> ForwardResult:
+                od_xsec=None, engine: str | None = None,
+                lor_layers=None) -> ForwardResult:
         """Complete forward computation for one (batched) profile set.
 
         tsfc: scalar or [...] surface temperature; emis/refl: [W] or
         [..., W] boundary spectra; irt: 1 up / 2 limb / 3 down (static).
         """
-        od = self.od_model(state, od_xsec=od_xsec, engine=engine)
+        od = self.od_model(state, od_xsec=od_xsec, engine=engine,
+                           lor_layers=lor_layers)
         wn_d = jnp.asarray(self.wn, self.dtype)
         od_total = od.od_total
         if self.mesh is not None and jnp.ndim(od_total) == 3:

@@ -284,14 +284,49 @@ class ODModel:
         self.pallas_cand_valid = cvalid
 
     def line_od_pallas(self, state: LayerState, scor_flat,
-                       engine: str | None = None):
+                       engine: str | None = None, lor_layers=None):
         """Line OD via the Pallas kernel: [..., L, W, M].
 
         Leading batch axes are flattened into the kernel's layer grid
         dimension; per-wavenumber-tile candidate pruning (the static
         block-sparse plan above) keeps the sweep sub-linear in far lines
         while the in-kernel 25 cm^-1 mask preserves exact semantics.
+
+        engine="hybrid" splits the layer axis: the (static) lor_layers
+        indices — layers whose every line passes the zeta > 0.99 test —
+        sweep through the lean all-Lorentz XLA engine, the rest through
+        the full Pallas kernel; results are scattered back in layer
+        order.  Layer-axis gathers run along an unsharded axis, so the
+        (prof, wn) mesh composition is untouched.
         """
+        if (engine or self.pallas_engine) == "hybrid":
+            import numpy as _np
+            L = state.p.shape[-1]
+            lor = sorted(int(i) for i in (lor_layers or ()))
+            voigt = [i for i in range(L) if i not in set(lor)]
+            if not lor or not voigt:
+                only = "lorentz-xla" if lor else "pallas"
+                return self.line_od_pallas(state, scor_flat, engine=only)
+
+            def sub(idxs):
+                ix = _np.asarray(idxs, _np.int32)
+                st = LayerState(
+                    p=jnp.take(state.p, ix, axis=-1),
+                    t=jnp.take(state.t, ix, axis=-1),
+                    tz=state.tz,
+                    wkl=jnp.take(state.wkl, ix, axis=-2),
+                    wbrodl=jnp.take(state.wbrodl, ix, axis=-1),
+                    clw=state.clw)
+                return st, jnp.take(scor_flat, ix, axis=-2)
+
+            sL, scL = sub(lor)
+            sV, scV = sub(voigt)
+            out = jnp.concatenate(
+                [self.line_od_pallas(sL, scL, engine="lorentz-xla"),
+                 self.line_od_pallas(sV, scV, engine="pallas")],
+                axis=-3)
+            inv = _np.argsort(_np.asarray(lor + voigt))
+            return jnp.take(out, jnp.asarray(inv), axis=-3)
         from monortm_tpu.ops.linesum_pallas import line_od_pallas
 
         p = jnp.asarray(state.p, self.dtype)
@@ -453,7 +488,8 @@ class ODModel:
         return out[..., :self.nwn, :]
 
     # ------------------------------------------------------------------
-    def all_lorentz(self, state: LayerState, scor_flat=None):
+    def all_lorentz(self, state: LayerState, scor_flat=None,
+                    per_layer: bool = False):
         """Device scalar: True iff every valid (layer, line) pair takes
         the Lorentz branch (zeta > 0.99, modm.f90:427) — the regime in
         which the all-Lorentz XLA engine (ops/linesum_lorentz.py) is
@@ -469,10 +505,11 @@ class ODModel:
             self.dev_cat, jnp.asarray(state.p, dtype),
             jnp.asarray(state.t, dtype), jnp.asarray(state.wkl, dtype),
             jnp.asarray(state.wbrodl, dtype), scor_flat, self.line_cfg,
-            dtype)
+            dtype, per_layer=per_layer)
 
     def __call__(self, state: LayerState, od_xsec=None,
-                 od_clw_in=None, engine: str | None = None) -> ODResult:
+                 od_clw_in=None, engine: str | None = None,
+                 lor_layers=None) -> ODResult:
         """Full OD computation (modm.f90:200-272).
 
         state fields carry layer axis last (after any profile batch axes).
@@ -486,7 +523,8 @@ class ODModel:
 
         # lines: [..., L, W, M] (layer axis comes from broadcasting p/t)
         if self.use_pallas:
-            od_lines = self.line_od_pallas(state, scor_flat, engine=engine)
+            od_lines = self.line_od_pallas(state, scor_flat, engine=engine,
+                                           lor_layers=lor_layers)
         else:
             od_lines = self.line_od(state, scor_flat)
 

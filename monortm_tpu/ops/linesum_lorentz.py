@@ -31,14 +31,20 @@ from monortm_tpu.ops.linesum_pallas import PER_L, PER_LN, precompute
 
 
 def all_lorentz_predicate(cat: dict, p, t, wk, wbrod, scor_flat,
-                          cfg: LineConfig, dtype=jnp.float32):
-    """Device scalar: True iff zeta > 0.99 for every valid (layer, line)
-    — the condition under which the Lorentz-only engine is exact."""
+                          cfg: LineConfig, dtype=jnp.float32,
+                          per_layer: bool = False):
+    """zeta > 0.99 for every valid line — the condition under which the
+    Lorentz-only engine is exact (modm.f90:427 routes every lane through
+    the Lorentz expressions then).
+
+    per_layer=False: a single device scalar over all (layer, line).
+    per_layer=True: a [...] bool per layer row — the pipeline uses it to
+    split a profile chunk's layers between the two engines (hybrid)."""
     lp = line_params(cat, p, t, wk, wbrod, scor_flat, cfg, dtype)
     hwc, hwd = lp["hwhm_c"], lp["hwhm_d"]
     zeta_ok = hwc * jnp.asarray(0.01, dtype) > hwd * jnp.asarray(0.99, dtype)
-    valid = jnp.asarray(cat["valid"])
-    return jnp.all(zeta_ok | ~valid)
+    ok = zeta_ok | ~jnp.asarray(cat["valid"])
+    return jnp.all(ok, axis=-1) if per_layer else jnp.all(ok)
 
 
 def line_od_lorentz_xla(tiled_cat: dict, wn_hi: np.ndarray,

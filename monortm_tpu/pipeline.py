@@ -579,10 +579,11 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 lambda v: v.reshape(v.shape[0], -1)[:, :nwn], res)
         return jax.jit(f)
 
-    def _od_fn(model, keep_full: bool, engine: str | None = None):
+    def _od_fn(model, keep_full: bool, engine: str | None = None,
+               lor_layers=None):
         def f(s, ox, oclw):
             od = model.od_model(s, od_xsec=ox, od_clw_in=oclw,
-                                engine=engine)
+                                engine=engine, lor_layers=lor_layers)
             # layer reductions in the OD jit: the [B,W,M,L] per-molecule
             # array stays on device (peak HBM is unchanged — the line
             # engine materializes it either way) and only the [B,W,M]
@@ -643,7 +644,8 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 (mesh is None or dict(mesh.shape).get("line", 1) == 1)
             if can_lor and ("pred", nmol) not in jit_cache:
                 jit_cache[("pred", nmol)] = jax.jit(
-                    lambda s, m=model: m.od_model.all_lorentz(s))
+                    lambda s, m=model: m.od_model.all_lorentz(
+                        s, per_layer=True))
 
             bmax = _max_batch(len(wn), nlay, nmol, n_prof_shards)
             for c0 in range(0, len(idxs), bmax):
@@ -673,13 +675,23 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 if has_x:
                     ox = put_prof(nstack(lambda p: p["od_xsec"]))
 
-                eng = None
-                if can_lor and bool(jit_cache[("pred", nmol)](state_d)):
-                    eng = "lorentz-xla"
-                if (nmol, eng) not in jit_cache:
-                    jit_cache[(nmol, eng)] = _od_fn(
-                        model, keep_full=netcdf, engine=eng)
-                od_fn = jit_cache[(nmol, eng)]
+                eng, lor_lay = None, ()
+                if can_lor:
+                    # per-layer zeta predicate -> engine choice: all
+                    # layers Lorentz -> lean XLA sweep; some -> hybrid
+                    # layer split; none -> Pallas kernel
+                    rows = pull(jit_cache[("pred", nmol)](state_d))
+                    lay_ok = np.asarray(rows).all(axis=0)
+                    if lay_ok.all():
+                        eng = "lorentz-xla"
+                    elif lay_ok.any():
+                        eng = "hybrid"
+                        lor_lay = tuple(np.nonzero(lay_ok)[0].tolist())
+                key = (nmol, eng, lor_lay)
+                if key not in jit_cache:
+                    jit_cache[key] = _od_fn(model, keep_full=netcdf,
+                                            engine=eng, lor_layers=lor_lay)
+                od_fn = jit_cache[key]
 
                 with timer.stage("device-forward"):
                     odt, red, odfull = od_fn(state_d, ox, oclw)

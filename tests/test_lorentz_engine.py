@@ -93,3 +93,23 @@ def test_lorentz_mesh_bitwise():
     np.testing.assert_array_equal(l0, lM)
     out = jax.jit(mM.line_od_pallas)(sharded, sc)
     assert len({s.device for s in out.addressable_shards}) == 8
+
+
+def test_hybrid_layer_split_matches_full():
+    """engine="hybrid" sweeps the Lorentz-clean layers through the lean
+    engine and the rest through the full kernel; results must equal the
+    full-kernel sweep to f32 roundoff on a mixed-regime state."""
+    state = _state(50.0, nlay=6)        # top layers fail zeta > 0.99
+    sc = jnp.ones((6, 351), jnp.float32)
+    m = _models(engine="pallas")
+    rows = np.asarray(jax.jit(
+        lambda s: m.all_lorentz(s, per_layer=True))(state))
+    assert rows.any() and not rows.all()     # genuinely mixed
+    lor = tuple(np.nonzero(rows)[0].tolist())
+    lP = np.asarray(m.line_od_pallas(state, sc))
+    lH = np.asarray(m.line_od_pallas(state, sc, engine="hybrid",
+                                     lor_layers=lor))
+    np.testing.assert_allclose(lH, lP, rtol=2e-5, atol=1e-11)
+    # layers outside the split ran the identical kernel: bitwise equal
+    voigt = [i for i in range(6) if i not in lor]
+    np.testing.assert_array_equal(lH[voigt], lP[voigt])
