@@ -101,24 +101,23 @@ def _coupling_coeffs(cat, t, rhorat, rho_mol, cfg: LineConfig):
     rho_for = (rhorat[..., None] - rho_mol) / rhorat[..., None]
     rho_sel = rho_mol / rhorat[..., None]
     mix = cat["self_mix"]
-    a = jnp.where(mix[..., None],
-                  rho_for[..., None] * cat["a1"] + rho_sel[..., None] * cat["a2"],
-                  cat["a1"])
-    b = jnp.where(mix[..., None],
-                  rho_for[..., None] * cat["b1"] + rho_sel[..., None] * cat["b2"],
-                  cat["b1"])
 
     def interp(coef):
-        # coef: [..., N, 4]; ilc: [..., 1] -> add a line axis for the gather
-        idx = ilc[..., None, :] if ilc.ndim > 1 else ilc[None, :]
-        lo = jnp.take_along_axis(
-            coef, jnp.broadcast_to(idx, coef.shape[:-1] + (1,)), -1)[..., 0]
-        hi = jnp.take_along_axis(
-            coef, jnp.broadcast_to(idx + 1, coef.shape[:-1] + (1,)), -1)[..., 0]
+        # coef: [N, 4] static; ilc has 3 possible values, so the interval
+        # gather is two where-chains over the 4 static columns — peak
+        # memory stays [..., N] (a take_along_axis over a broadcast
+        # [..., N, 4] was the largest allocation of the 80k-wn x
+        # 200-layer envelope: 4x this op's footprint)
+        c0, c1, c2, c3 = (coef[..., k] for k in range(4))
+        lo = jnp.where(ilc == 0, c0, jnp.where(ilc == 1, c1, c2))
+        hi = jnp.where(ilc == 0, c1, jnp.where(ilc == 1, c2, c3))
         return lo + (hi - lo) * rectlc[..., 0:1] * tmpdif[..., 0:1]
 
-    aip = interp(a)
-    bip = interp(b)
+    # interp is linear in the coefficients, so the -5 self/foreign
+    # density mixing commutes with the temperature interpolation
+    a1i, b1i = interp(cat["a1"]), interp(cat["b1"])
+    aip = jnp.where(mix, rho_for * a1i + rho_sel * interp(cat["a2"]), a1i)
+    bip = jnp.where(mix, rho_for * b1i + rho_sel * interp(cat["b2"]), b1i)
 
     xg = cat["xg"]
     aip = jnp.where(xg == -1, aip * cfg.sclcpl + cfg.y0res, aip)

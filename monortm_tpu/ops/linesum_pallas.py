@@ -43,6 +43,10 @@ from monortm_tpu.ops.lineshape import (DELTNU_CUT, LineConfig, MOL_CO2,
                                        MOL_O2, line_params)
 from monortm_tpu.ops.voigt import sdvoigt, xlorentz
 
+# scalar-prefetch budget for the candidate map (cm+cv, bytes); the wn
+# tile axis is segmented into separate pallas_calls beyond this
+_SMEM_MAP_BUDGET = 512 * 1024
+
 # streamed per-(layer, line) operands, in kernel argument order
 PER_LN = ("shift", "stild", "hw", "ad", "k3v", "ya", "yb")
 # streamed per-line operands ([1, N])
@@ -335,7 +339,46 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
 
     cm = jnp.asarray(cand_map, jnp.int32)
     cv = jnp.asarray(cand_valid, jnp.int32)
-    if mesh is not None and mesh.devices.size > 1:
+    if mesh is None or mesh.devices.size <= 1:
+        # Large grids (the 80k-wn reference envelope): the full
+        # [n_wt, n_cand] scalar-prefetch map can exceed the ~1 MB SMEM.
+        # Split the wn-tile axis into contiguous segments, each with its
+        # candidate columns trimmed to the segment's own maximum (valid
+        # slots are packed leftmost by the plan builder), and launch one
+        # pallas_call per segment — identical semantics, bounded SMEM,
+        # and nt stays at the fast 256 instead of the nt=512 big-block
+        # penalty the chunked r3 envelope paid (BENCH_NOTES.md).
+        # Under a mesh each shard's local map is already 1/n_wn of the
+        # total, so segmentation is applied on the single-device path.
+        cv_h = np.asarray(cand_valid)
+        budget = _SMEM_MAP_BUDGET
+        if cv_h.shape[0] * cv_h.shape[1] * 8 <= budget:
+            sf = call(cm, cv, *args)
+        else:
+            counts = cv_h.sum(axis=1)
+            segs, r0, maxc = [], 0, 0
+            for i in range(cv_h.shape[0]):
+                c = max(int(counts[i]), 1)
+                rows = i - r0 + 1
+                if rows * max(maxc, c) * 8 > budget and rows > 1:
+                    segs.append((r0, i, maxc))
+                    r0, maxc = i, c
+                else:
+                    maxc = max(maxc, c)
+            segs.append((r0, cv_h.shape[0], max(maxc, 1)))
+            cm_h = np.asarray(cand_map)
+            parts = []
+            for s0, s1, nc in segs:
+                a_s = list(args)
+                a_s[0] = args[0][:, s0 * wt:s1 * wt]
+                a_s[1] = args[1][:, s0 * wt:s1 * wt]
+                parts.append(call(jnp.asarray(cm_h[s0:s1, :nc]),
+                                  jnp.asarray(cv_h[s0:s1, :nc]
+                                              .astype(np.int32)),
+                                  *a_s))
+            sf = jnp.concatenate(parts, axis=2)
+        return sf.reshape(lp, wp, n_mol)[:L]
+    else:
         nw = mesh.shape["wn"]
         n_line = dict(mesh.shape).get("line", 1)
         assert n_wt % nw == 0, (n_wt, nw)
@@ -359,6 +402,4 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
         sf = shard_map(body, mesh=mesh, in_specs=tuple(specs),
                        out_specs=P("prof", None, "wn", None),
                        check_vma=False)(cm, cv, *args)
-    else:
-        sf = call(cm, cv, *args)
     return sf.reshape(lp, wp, n_mol)[:L]

@@ -208,3 +208,27 @@ def test_pallas_capacity_250k_lines_8k_wn():
     od = jax.jit(lambda s: m.line_od_pallas(s, scor))(state)
     od.block_until_ready()
     assert np.all(np.isfinite(np.asarray(od)))
+
+
+def test_segmented_candidate_map_matches_unsegmented(monkeypatch):
+    """Beyond the SMEM budget the wn-tile axis splits into per-segment
+    pallas_calls with trimmed candidate columns (the 80k-wn envelope
+    path); forcing a tiny budget must not change a single bit."""
+    from monortm_tpu.ops import linesum_pallas as lsp
+
+    wn = np.linspace(0.3, 55.0, 640)
+    cat = synthetic_catalog_mw(n_h2o=256, n_o2=128, tile=64)
+    state = synthetic_state(nlay=4)
+    state = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
+                                   state)
+    sc = jnp.ones((4, 351), jnp.float32)
+
+    def build():
+        return ODModel(wn, 0.1, cat, nmol=22, dtype=jnp.float32,
+                       use_pallas=True, pallas_wn_tile=128,
+                       pallas_line_tile=128)
+
+    whole = np.asarray(build().line_od_pallas(state, sc))
+    monkeypatch.setattr(lsp, "_SMEM_MAP_BUDGET", 64)   # force ~1 row/seg
+    seg = np.asarray(build().line_od_pallas(state, sc))
+    np.testing.assert_array_equal(whole, seg)
