@@ -640,7 +640,9 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             # kernel's per-grid-step floor (BENCH_NOTES.md); the
             # predicate makes the switch exact, and both runs of a
             # mesh-vs-single comparison take the same branch
+            # MONORTM_ENGINE=pallas disables the dispatch (debug/bench)
             can_lor = model.od_model.use_pallas and \
+                _os.environ.get("MONORTM_ENGINE", "auto") == "auto" and \
                 (mesh is None or dict(mesh.shape).get("line", 1) == 1)
             if can_lor and ("pred", nmol) not in jit_cache:
                 jit_cache[("pred", nmol)] = jax.jit(
