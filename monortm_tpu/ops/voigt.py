@@ -211,6 +211,18 @@ def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4,
     alfa = alphal / g2_safe - 1.5
     beta = deltnu / g2_safe
     delta = (1.0 / 4.0 / c.LN2) * (alphad * alphad / g2_safe / g2_safe)
+    # f32 robustness: the two-point construction works at coordinates
+    # ~sqrt(delta) whose differences cancel catastrophically as
+    # gamma2 -> 0 (the NaN surfaced at a 0.05 hPa layer of the 80k-wn
+    # envelope, where sdep just above the 1e-4 cutoff gave
+    # delta ~ 1e8).  When the speed-dependent width is below ~0.06% of
+    # the Doppler width (delta > 1e6) the correction is physically
+    # negligible — fall back to the plain Voigt.  f64 (the validation
+    # mode, and the precision the reference runs) evaluates the
+    # construction fine, so the sdep cutoff alone applies there
+    # (modm.f90:1017-1081).
+    if jnp.result_type(deltnu, alphal, alphad) != jnp.float64:
+        use_sd = use_sd & (delta < 1.0e6)
     alfadelta = alfa + delta
 
     tmp = jnp.sqrt(alfadelta * alfadelta + beta * beta)

@@ -206,6 +206,14 @@ def _slice_result(res, i):
     return ForwardResult(rt=rt, od=od, emis=res.emis, refl=res.refl)
 
 
+# upper bound on line-sum evaluations (layers x wavenumbers x lines) per
+# device call: ~25 s worst-case on a v5e chip at the measured dense-
+# catalog rate.  Single executions past ~1-2 min are killed on tunneled
+# backends, so the pipeline splits the independent layer axis to stay
+# under this (the 200-layer x 80k-wn x 250k-line reference envelope).
+_MAX_OD_EVALS_PER_CALL = 8.0e11
+
+
 def _device_budget_bytes(default: float = 2.0e9) -> float:
     """Usable per-device memory for batching, from the device itself.
 
@@ -677,26 +685,81 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 if has_x:
                     ox = put_prof(nstack(lambda p: p["od_xsec"]))
 
-                eng, lor_lay = None, ()
+                lay_ok = None
                 if can_lor:
                     # per-layer zeta predicate -> engine choice: all
                     # layers Lorentz -> lean XLA sweep; some -> hybrid
                     # layer split; none -> Pallas kernel
                     rows = pull(jit_cache[("pred", nmol)](state_d))
                     lay_ok = np.asarray(rows).all(axis=0)
-                    if lay_ok.all():
-                        eng = "lorentz-xla"
-                    elif lay_ok.any():
-                        eng = "hybrid"
-                        lor_lay = tuple(np.nonzero(lay_ok)[0].tolist())
-                key = (nmol, eng, lor_lay)
-                if key not in jit_cache:
-                    jit_cache[key] = _od_fn(model, keep_full=netcdf,
-                                            engine=eng, lor_layers=lor_lay)
-                od_fn = jit_cache[key]
+
+                # bound per-call device work by splitting the
+                # (independent) layer axis: the reference envelope
+                # (200 layers x 80k wn x 250k lines) is ~2 min in one
+                # program, past the backend's execution limit; layer
+                # chunks keep each call ~25 s worst-case and partial
+                # sums combine in fixed chunk order (deterministic)
+                per_layer = len(wn) * max(model.od_model.catalog.n_lines,
+                                          1)
+                lay_cap = max(1, int(_MAX_OD_EVALS_PER_CALL // per_layer))
+                lay_splits = list(range(0, nlay, lay_cap)) + [nlay]
+
+                def od_call(l0, l1):
+                    eng, lor_lay = None, ()
+                    if lay_ok is not None:
+                        sub = lay_ok[l0:l1]
+                        if sub.all():
+                            eng = "lorentz-xla"
+                        elif sub.any():
+                            eng = "hybrid"
+                            lor_lay = tuple(np.nonzero(sub)[0].tolist())
+                    key = (nmol, eng, lor_lay, l1 - l0 if lay_cap < nlay
+                           else None)
+                    if key not in jit_cache:
+                        jit_cache[key] = _od_fn(model, keep_full=netcdf,
+                                                engine=eng,
+                                                lor_layers=lor_lay)
+                    if l0 == 0 and l1 == nlay:
+                        return jit_cache[key](state_d, ox, oclw)
+                    sl = lambda x, ax: (None if x is None else
+                                        jax.lax.slice_in_dim(x, l0, l1,
+                                                             axis=ax))
+                    st_c = LayerState(
+                        p=sl(state_d.p, -1), t=sl(state_d.t, -1),
+                        tz=jax.lax.slice_in_dim(state_d.tz, l0, l1 + 1,
+                                                axis=-1),
+                        wkl=sl(state_d.wkl, -2),
+                        wbrodl=sl(state_d.wbrodl, -1),
+                        clw=sl(state_d.clw, -1))
+                    return jit_cache[key](st_c, sl(ox, -2), sl(oclw, -2))
 
                 with timer.stage("device-forward"):
-                    odt, red, odfull = od_fn(state_d, ox, oclw)
+                    if len(lay_splits) <= 2:
+                        odt, red, odfull = od_call(0, nlay)
+                    else:
+                        chunks = [od_call(l0, l1) for l0, l1 in
+                                  zip(lay_splits[:-1], lay_splits[1:])
+                                  if l1 > l0]
+                        odt = jnp.concatenate([c[0] for c in chunks],
+                                              axis=-1)
+                        red = chunks[0][1]
+                        for c in chunks[1:]:
+                            red = jax.tree_util.tree_map(
+                                jnp.add, red, c[1])
+                        odfull = None
+                        if netcdf and chunks[0][2] is not None:
+                            from monortm_tpu.models.od import ODResult
+                            cat3 = lambda f, ax: jnp.concatenate(
+                                [f(c[2]) for c in chunks], axis=ax)
+                            odfull = ODResult(
+                                od_total=cat3(lambda o: o.od_total, -1),
+                                od_by_mol=cat3(lambda o: o.od_by_mol, -1),
+                                oc={k: cat3(lambda o, k=k: o.oc[k], -2)
+                                    for k in chunks[0][2].oc},
+                                od_clw=cat3(lambda o: o.od_clw, -2),
+                                od_xsec=(cat3(lambda o: o.od_xsec, -2)
+                                         if chunks[0][2].od_xsec
+                                         is not None else None))
                     parts = rt_fn(odt, state_d.t, state_d.tz)
                     jax.block_until_ready(parts.rup)
                 with timer.stage("device->host"):

@@ -162,3 +162,25 @@ def test_xlorentz():
     z = jnp.asarray([0.0, 1.0, -2.0])
     np.testing.assert_allclose(np.asarray(xlorentz(z)),
                                1.0 / (np.pi * (1 + np.asarray(z) ** 2)), rtol=1e-12)
+
+
+def test_sdvoigt_negligible_sd_falls_back_to_voigt_f32():
+    """sdep just above the 1e-4 cutoff with a near-zero speed-dependent
+    width (gamma2 << alphad) drives the two-point SD construction into
+    catastrophic f32 cancellation (observed NaN at a 0.05 hPa layer of
+    the 80k-wn envelope run).  The delta > 1e6 guard must route such
+    lines to the plain Voigt instead (the correction is < 0.06% of the
+    Doppler width there)."""
+    import jax.numpy as jnp
+    from monortm_tpu.ops.voigt import sdvoigt, voigt
+
+    d = jnp.float32(-4.6253204e-05)
+    hw = jnp.float32(4.830477e-06)
+    ad = jnp.float32(9.574036e-06)
+    sd = jnp.float32(1.1304602e-04)
+    v = float(sdvoigt(d, hw, ad, sd))
+    assert np.isfinite(v)
+    np.testing.assert_allclose(v, float(voigt(d, hw, ad)), rtol=1e-6)
+    # gated form (the Pallas kernel path) agrees to f32 roundoff
+    vg = float(sdvoigt(d, hw, ad, sd, gate=True))
+    np.testing.assert_allclose(vg, v, rtol=1e-6)
