@@ -115,6 +115,19 @@ class ODModel:
             self.pallas_wsub = int(pallas_wsub)
             self._build_pallas_plan(catalog, nt=pallas_line_tile,
                                     wt=pallas_wn_tile)
+            plan_p = self._snapshot_plan()
+            # the lean all-Lorentz XLA engine runs fastest on smaller
+            # tiles than the Pallas kernel (BENCH_NOTES round-4
+            # resweep: nt=128/wt=128 -> 19.9 ms vs 26 ms on the shared
+            # nt=256 plan), so it gets its own plan over the same
+            # catalog unless the tiles already match
+            if (pallas_line_tile, pallas_wn_tile) != (128, 128):
+                self._build_pallas_plan(catalog, nt=128, wt=128)
+                self._plan_lorentz = self._snapshot_plan()
+                for k, v in plan_p.items():
+                    setattr(self, "pallas_" + k, v)
+            else:
+                self._plan_lorentz = plan_p
 
     def _build_line_tiles(self, catalog: PackedCatalog, line_tile: int):
         """Split the catalog into (a) O2 tiles — processed for every
@@ -189,6 +202,12 @@ class ODModel:
             self.cand_mask = jnp.asarray(cand_mask)
         else:
             self.n_cand = 0
+
+    def _snapshot_plan(self) -> dict:
+        """The most recently built block-sparse plan, as a dict."""
+        return {k: getattr(self, "pallas_" + k)
+                for k in ("cat", "nt", "wt", "wn_hi", "wn_lo",
+                          "cand_map", "cand_valid")}
 
     # ------------------------------------------------------------------
     def _build_pallas_plan(self, catalog: PackedCatalog, nt: int, wt: int):
@@ -342,10 +361,11 @@ class ODModel:
             # all-Lorentz XLA sweep over the same block-sparse plan
             # (exact when zeta > 0.99 everywhere; ops/linesum_lorentz.py)
             from monortm_tpu.ops.linesum_lorentz import line_od_lorentz_xla
+            pl_ = self._plan_lorentz
             sf = line_od_lorentz_xla(
-                self.pallas_cat, self.pallas_wn_hi, self.pallas_wn_lo,
-                self.pallas_cand_map, self.pallas_cand_valid,
-                self.pallas_nt, self.pallas_wt, *flat_args,
+                pl_["cat"], pl_["wn_hi"], pl_["wn_lo"],
+                pl_["cand_map"], pl_["cand_valid"],
+                pl_["nt"], pl_["wt"], *flat_args,
                 cfg=self.line_cfg, n_mol=self.nmol, mesh=self.mesh)
         else:
             sf = line_od_pallas(
