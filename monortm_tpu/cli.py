@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=None,
                     help="host processes for IATM=1 layering "
                          "(default: auto for large profile stacks)")
+    ap.add_argument("--engine", choices=("auto", "xla", "pallas"),
+                    default="auto",
+                    help="line engine: 'auto' (Pallas/hybrid on TPU, "
+                         "XLA elsewhere), 'xla' forces the dense XLA "
+                         "engine, 'pallas' forces the kernel path")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host run: jax.distributed rendezvous via "
                          "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
@@ -71,10 +76,12 @@ def main(argv=None):
 
     dtype = jnp.float64 if args.precision == "float64" else jnp.float32
     t0 = time.time()
+    use_pallas = {"auto": None, "xla": False, "pallas": True}[args.engine]
     res = run(filein=args.filein, fileprof=args.fileprof, hfile=args.hfile,
               fileout=args.fileout, outdir=args.outdir, dtype=dtype,
               wn_tile=args.wn_tile, line_tile=args.line_tile,
-              netcdf=args.netcdf, mesh=mesh, workers=args.workers)
+              netcdf=args.netcdf, mesh=mesh, workers=args.workers,
+              use_pallas=use_pallas)
     dt = time.time() - t0
     print(f"monortm-tpu: {len(res.tb)} profile(s) x {len(res.wn)} "
           f"wavenumber(s) in {dt:.2f}s")

@@ -267,7 +267,7 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         fileout="MONORTM.OUT", outdir=".", dtype=jnp.float32,
         wn_tile=128, line_tile=4096, emis_dir=None,
         netcdf=False, profile_dir=None, mesh="auto",
-        workers=None) -> RunResult:
+        workers=None, use_pallas=None) -> RunResult:
     """Run the full MONORTM.IN -> MONORTM.OUT pipeline.
 
     mesh: "auto" builds a (prof, wn) mesh over every local device (the
@@ -275,6 +275,9 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     single-device execution, or pass a jax.sharding.Mesh with
     ("prof", "wn") axes.  workers: host-side process count for IATM=1
     layering (atmos.tape5_atm.profiles_from_tape5).
+    use_pallas: None auto-selects the Pallas/hybrid fast path on TPU
+    backends (the XLA engine elsewhere); True/False forces it — True on
+    a CPU backend runs the kernel in interpret mode (slow; tests).
     """
     filein = Path(filein)
     Path(outdir).mkdir(parents=True, exist_ok=True)
@@ -637,7 +640,7 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                     wn, cfg.dvset, catalog, nmol=nmol,
                     factors=cfg.factors, line_cfg=LineConfig(ibrd=cfg.ibrd),
                     dtype=dtype, wn_tile=wn_tile, line_tile=line_tile,
-                    mesh=mesh)
+                    use_pallas=use_pallas, mesh=mesh)
             model = model_cache[nmol]
             if "rt" not in jit_cache:
                 jit_cache["rt"] = _rt_parts_fn()

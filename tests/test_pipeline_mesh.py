@@ -155,3 +155,31 @@ def test_line_axis_sharding():
     mPL = _mesh_model(True, mesh)
     lPL = np.asarray(jax.jit(mPL.od_model.line_od_pallas)(state, sc))
     np.testing.assert_allclose(lPL, l0, rtol=2e-5, atol=1e-11)
+
+
+def test_layer_chunked_od_byte_identical(rundir, monkeypatch):
+    """Bounding per-call device work splits the layer axis into several
+    od calls (the 200-layer x 80k-wn envelope path, where one program
+    would exceed backend execution limits); forcing 1-layer chunks must
+    reproduce MONORTM.OUT byte-for-byte — partial layer sums combine in
+    fixed chunk order."""
+    import monortm_tpu.pipeline as pl
+    r_ref = _run(rundir, rundir / "nochunk", mesh=None)
+    monkeypatch.setattr(pl, "_MAX_OD_EVALS_PER_CALL", 1.0)
+    r_chk = _run(rundir, rundir / "chunk", mesh=None)
+    assert (rundir / "chunk" / "MONORTM.OUT").read_bytes() == \
+        (rundir / "nochunk" / "MONORTM.OUT").read_bytes()
+    for a, b in zip(r_ref.tb, r_chk.tb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_interpret_pallas_engine(rundir):
+    """pipeline.run(use_pallas=True) on a CPU backend exercises the
+    production engine-dispatch code path (per-layer zeta predicate ->
+    pallas / lorentz-xla / hybrid) in interpret mode; the output must
+    match the XLA engine within f32 kernel roundoff."""
+    r_x = _run(rundir, rundir / "engxla", mesh=None, use_pallas=False)
+    r_p = _run(rundir, rundir / "engpal", mesh=None, use_pallas=True)
+    for a, b in zip(r_x.tb, r_p.tb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-4)
