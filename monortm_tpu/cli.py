@@ -39,11 +39,14 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=None,
                     help="host processes for IATM=1 layering "
                          "(default: auto for large profile stacks)")
-    ap.add_argument("--engine", choices=("auto", "xla", "pallas"),
+    ap.add_argument("--engine",
+                    choices=("auto", "xla", "pallas", "hybrid"),
                     default="auto",
-                    help="line engine: 'auto' (Pallas/hybrid on TPU, "
-                         "XLA elsewhere), 'xla' forces the dense XLA "
-                         "engine, 'pallas' forces the kernel path")
+                    help="line engine: 'auto' (Pallas kernel + "
+                         "per-layer all-Lorentz dispatch on TPU, dense "
+                         "XLA elsewhere), 'xla' (dense engine), "
+                         "'pallas' (kernel only), 'hybrid' (kernel + "
+                         "dispatch even off-TPU)")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host run: jax.distributed rendezvous via "
                          "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
@@ -76,12 +79,11 @@ def main(argv=None):
 
     dtype = jnp.float64 if args.precision == "float64" else jnp.float32
     t0 = time.time()
-    use_pallas = {"auto": None, "xla": False, "pallas": True}[args.engine]
     res = run(filein=args.filein, fileprof=args.fileprof, hfile=args.hfile,
               fileout=args.fileout, outdir=args.outdir, dtype=dtype,
               wn_tile=args.wn_tile, line_tile=args.line_tile,
               netcdf=args.netcdf, mesh=mesh, workers=args.workers,
-              use_pallas=use_pallas)
+              engine=args.engine)
     dt = time.time() - t0
     print(f"monortm-tpu: {len(res.tb)} profile(s) x {len(res.wn)} "
           f"wavenumber(s) in {dt:.2f}s")

@@ -267,7 +267,7 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         fileout="MONORTM.OUT", outdir=".", dtype=jnp.float32,
         wn_tile=128, line_tile=4096, emis_dir=None,
         netcdf=False, profile_dir=None, mesh="auto",
-        workers=None, use_pallas=None) -> RunResult:
+        workers=None, engine="auto") -> RunResult:
     """Run the full MONORTM.IN -> MONORTM.OUT pipeline.
 
     mesh: "auto" builds a (prof, wn) mesh over every local device (the
@@ -275,10 +275,15 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     single-device execution, or pass a jax.sharding.Mesh with
     ("prof", "wn") axes.  workers: host-side process count for IATM=1
     layering (atmos.tape5_atm.profiles_from_tape5).
-    use_pallas: None auto-selects the Pallas/hybrid fast path on TPU
-    backends (the XLA engine elsewhere); True/False forces it — True on
-    a CPU backend runs the kernel in interpret mode (slow; tests).
+    engine: "auto" (hardware default: Pallas kernel + per-layer
+    all-Lorentz dispatch on TPU, dense XLA engine elsewhere), "xla"
+    (dense engine), "pallas" (kernel only, dispatch off), or "hybrid"
+    (kernel + dispatch even off-TPU — interpret mode; tests).
     """
+    if engine not in ("auto", "xla", "pallas", "hybrid"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_pallas = {"auto": None, "xla": False, "pallas": True,
+                  "hybrid": True}[engine]
     filein = Path(filein)
     Path(outdir).mkdir(parents=True, exist_ok=True)
     timer = StageTimer()
@@ -651,9 +656,8 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             # kernel's per-grid-step floor (BENCH_NOTES.md); the
             # predicate makes the switch exact, and both runs of a
             # mesh-vs-single comparison take the same branch
-            # MONORTM_ENGINE=pallas disables the dispatch (debug/bench)
             can_lor = model.od_model.use_pallas and \
-                _os.environ.get("MONORTM_ENGINE", "auto") == "auto" and \
+                engine in ("auto", "hybrid") and \
                 (mesh is None or dict(mesh.shape).get("line", 1) == 1)
             if can_lor and ("pred", nmol) not in jit_cache:
                 jit_cache[("pred", nmol)] = jax.jit(

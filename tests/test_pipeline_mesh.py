@@ -174,12 +174,12 @@ def test_layer_chunked_od_byte_identical(rundir, monkeypatch):
 
 
 def test_pipeline_interpret_pallas_engine(rundir):
-    """pipeline.run(use_pallas=True) on a CPU backend exercises the
+    """pipeline.run(engine="hybrid") on a CPU backend exercises the
     production engine-dispatch code path (per-layer zeta predicate ->
     pallas / lorentz-xla / hybrid) in interpret mode; the output must
     match the XLA engine within f32 kernel roundoff."""
-    r_x = _run(rundir, rundir / "engxla", mesh=None, use_pallas=False)
-    r_p = _run(rundir, rundir / "engpal", mesh=None, use_pallas=True)
+    r_x = _run(rundir, rundir / "engxla", mesh=None, engine="xla")
+    r_p = _run(rundir, rundir / "engpal", mesh=None, engine="hybrid")
     for a, b in zip(r_x.tb, r_p.tb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=1e-4)
