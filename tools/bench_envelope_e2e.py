@@ -68,6 +68,7 @@ def main():
     ap.add_argument("--outdir", default="/tmp/envelope_e2e")
     ap.add_argument("--nlay", type=int, default=200)
     ap.add_argument("--lines", type=int, default=250000)
+    ap.add_argument("--engine", default="auto")
     args = ap.parse_args()
 
     import jax
@@ -97,7 +98,7 @@ def main():
 
     t0 = time.perf_counter()
     res = run(filein=d / "MONORTM.IN", fileprof=d / "MONORTM_PROF.IN",
-              hfile=d / "TAPE3", outdir=d)
+              hfile=d / "TAPE3", outdir=d, engine=args.engine)
     wall = time.perf_counter() - t0
 
     nwn = len(res.wn)
