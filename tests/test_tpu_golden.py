@@ -28,6 +28,9 @@ REF_IN = Path("/root/reference/run/in")
 CASES = {
     1: ("MONORTM.IN_MDL_ATM_dn", None),
     4: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_sav"),
+    # slant IR lidar (6365 cm^-1): exercises the two-float wn splits,
+    # refraction layering and the SD-Voigt regime on hardware
+    7: ("MONORTM.IN_IATM1_lidar_up", None),
 }
 
 
