@@ -164,13 +164,24 @@ def test_layer_chunked_od_byte_identical(rundir, monkeypatch):
     reproduce MONORTM.OUT byte-for-byte — partial layer sums combine in
     fixed chunk order."""
     import monortm_tpu.pipeline as pl
-    r_ref = _run(rundir, rundir / "nochunk", mesh=None)
+    r_ref = _run(rundir, rundir / "nochunk", mesh=None, netcdf=True)
     monkeypatch.setattr(pl, "_MAX_OD_EVALS_PER_CALL", 1.0)
-    r_chk = _run(rundir, rundir / "chunk", mesh=None)
+    r_chk = _run(rundir, rundir / "chunk", mesh=None, netcdf=True)
     assert (rundir / "chunk" / "MONORTM.OUT").read_bytes() == \
         (rundir / "nochunk" / "MONORTM.OUT").read_bytes()
     for a, b in zip(r_ref.tb, r_chk.tb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the NetCDF path concatenates per-chunk per-layer ODs back
+    # together — the files must agree too
+    from scipy.io import netcdf_file
+    for name in ("MONORTM.00001.nc", "MONORTM.00003.nc"):
+        with netcdf_file(str(rundir / "nochunk" / name), mmap=False) as a, \
+                netcdf_file(str(rundir / "chunk" / name), mmap=False) as b:
+            for v in ("LAYER_OPTICAL_DEPTH",
+                      "LAYER_OPTICAL_DEPTH_BY_MOLECULE", "BT",
+                      "TOTAL_OD"):
+                np.testing.assert_array_equal(a.variables[v][:],
+                                              b.variables[v][:])
 
 
 def test_pipeline_interpret_pallas_engine(rundir):
