@@ -80,10 +80,15 @@ class ODModel:
         self.cont = ContinuumPlan(self.wn64, dvset=dvset, factors=factors,
                                   nmol=nmol)
         self.catalog = catalog
-        # host copy for tile/plan building (no device round trips);
-        # device tiles are gathered from it and uploaded once
+        # host copy for tile/plan building — and for everything below:
+        # every plan/tile array stays NUMPY at build time and becomes a
+        # trace-time constant inside the jitted engines.  Eager
+        # jnp.asarray uploads here (~100 small arrays) each cost a
+        # device round trip, which on tunneled backends stalls model
+        # construction by seconds to minutes (found via the e2e
+        # profiles/s bench).
         self.host_cat = catalog_to_host(catalog, dtype)
-        self.dev_cat = {k: jnp.asarray(v) for k, v in self.host_cat.items()}
+        self.dev_cat = self.host_cat
         # Pallas line-sum fast path (f32 only; ops/linesum_pallas.py).
         # None = auto: use it whenever the default backend is a TPU.
         if use_pallas is None:
@@ -160,10 +165,9 @@ class ODModel:
 
         def gather_tiles(rows_mask):
             rows, mask = rows_mask
-            out = {k: jnp.asarray(v[rows]) for k, v in self.host_cat.items()}
+            out = {k: v[rows] for k, v in self.host_cat.items()}
             # padding rows repeat index 0 — mask them out explicitly
-            out["valid"] = jnp.asarray(
-                np.asarray(self.catalog.valid)[rows] & mask)
+            out["valid"] = np.asarray(self.catalog.valid)[rows] & mask
             return out
 
         self.o2_tiles = gather_tiles(self._o2_rows) \
@@ -198,8 +202,8 @@ class ODModel:
             for i, c in enumerate(cands):
                 cand_idx[i, :len(c)] = c
                 cand_mask[i, :len(c)] = True
-            self.cand_idx = jnp.asarray(cand_idx)
-            self.cand_mask = jnp.asarray(cand_mask)
+            self.cand_idx = cand_idx
+            self.cand_mask = cand_mask
         else:
             self.n_cand = 0
 
@@ -252,10 +256,9 @@ class ODModel:
         rows = np.concatenate([p[0] for p in parts]).reshape(-1)
         mask = np.concatenate([p[1] for p in parts]).reshape(-1)
 
-        self.pallas_cat = {k: jnp.asarray(v[rows])
-                           for k, v in self.host_cat.items()}
-        self.pallas_cat["valid"] = jnp.asarray(
-            np.asarray(self.catalog.valid)[rows] & mask)
+        self.pallas_cat = {k: v[rows] for k, v in self.host_cat.items()}
+        self.pallas_cat["valid"] = \
+            np.asarray(self.catalog.valid)[rows] & mask
         self.pallas_nt = nt
         self.pallas_wt = wt
 
@@ -411,10 +414,13 @@ class ODModel:
                                  dtype)
 
         if self.win_tiles is not None:
+            # trace-time constant conversion (the tiles are host numpy;
+            # v[k] with a traced k needs device arrays)
+            win = jax.tree_util.tree_map(jnp.asarray, self.win_tiles)
+
             def body_w(a, km):
                 k, m = km
-                tile = jax.tree_util.tree_map(lambda v: v[k],
-                                              self.win_tiles)
+                tile = jax.tree_util.tree_map(lambda v: v[k], win)
                 od = block(tile)
                 return a + jnp.where(m, od, 0.0), None
 

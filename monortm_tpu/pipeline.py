@@ -297,10 +297,10 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     except Exception:
         pass
-    iatm, ixsect, nprof = count_profiles(filein, fileprof)
-
-    rd = Tape5Reader(filein)
-    cfg = rd.read_block()
+    with timer.stage("tape5-parse"):
+        iatm, ixsect, nprof = count_profiles(filein, fileprof)
+        rd = Tape5Reader(filein)
+        cfg = rd.read_block()
     wn = cfg.wn
     if cfg.nwn == 0:
         raise ValueError("no wavenumbers configured")
@@ -615,8 +615,30 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         return jax.jit(f)
 
     from monortm_tpu.ops.cloud import od_clw as _od_clw
-    clw_fn = jax.jit(lambda t, c: _od_clw(wn_dev, t[..., None],
-                                          c[..., None]))
+    # the cloud OD is trivial elementwise work; jit it on the LOCAL CPU
+    # backend when one exists — on remote-compile (tunneled) TPU
+    # backends even a trivial first compile costs 20-100 s of HTTP
+    # round trip (measured via the e2e profiles/s bench), which
+    # dominated many-profile runs.  The result is a host-side array
+    # either way (uploaded with the state batch below).
+    wn_np = np.asarray(wn, npdt)
+    _clw_jit = jax.jit(lambda t, c: _od_clw(jnp.asarray(wn_np),
+                                            t[..., None], c[..., None]))
+    try:
+        # multi-controller runs must NOT divert to the local CPU
+        # backend: with jax.distributed initialized the CPU platform
+        # spans processes and a "local" jit turns into a Gloo
+        # collective (observed DEADLINE_EXCEEDED in the 2-process test)
+        _cpu0 = jax.devices("cpu")[0] if nprocs == 1 else None
+    except RuntimeError:
+        _cpu0 = None
+
+    def clw_fn(t_h, c_h):
+        if _cpu0 is not None:
+            with jax.default_device(_cpu0):
+                return np.asarray(_clw_jit(jnp.asarray(t_h),
+                                           jnp.asarray(c_h)))
+        return np.asarray(_clw_jit(jnp.asarray(t_h), jnp.asarray(c_h)))
 
     from monortm_tpu.io.output import ProfileOutput
     keep_layers = cfg.iod == 1 or netcdf
@@ -641,11 +663,14 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     with profile_trace(profile_dir):
         for (nlay, irt, nmol, has_x), idxs in groups.items():
             if nmol not in model_cache:
-                model_cache[nmol] = MonoRTM(
-                    wn, cfg.dvset, catalog, nmol=nmol,
-                    factors=cfg.factors, line_cfg=LineConfig(ibrd=cfg.ibrd),
-                    dtype=dtype, wn_tile=wn_tile, line_tile=line_tile,
-                    use_pallas=use_pallas, mesh=mesh)
+                with timer.stage("model-build"):
+                    model_cache[nmol] = MonoRTM(
+                        wn, cfg.dvset, catalog, nmol=nmol,
+                        factors=cfg.factors,
+                        line_cfg=LineConfig(ibrd=cfg.ibrd),
+                        dtype=dtype, wn_tile=wn_tile,
+                        line_tile=line_tile,
+                        use_pallas=use_pallas, mesh=mesh)
             model = model_cache[nmol]
             if "rt" not in jit_cache:
                 jit_cache["rt"] = _rt_parts_fn()
@@ -672,32 +697,53 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 # repeats the last profile; its outputs are dropped)
                 npad = (-len(prs)) % n_prof_shards
                 prs = prs + [prs[-1]] * npad
+                timer_h2d = timer.stage("host->device")
+                timer_h2d.__enter__()
                 nstack = lambda f: np.stack([f(p) for p in prs]).astype(npdt)
                 t_np = nstack(lambda p: p["st"].t)
                 tz_np = nstack(lambda p: p["st"].tz)
                 tsfc_np = nstack(lambda p: np.asarray([p["tbound"]]))
                 clw_np = nstack(lambda p: p["st"].clw)
+                p_np = nstack(lambda p: p["st"].p)
+                wkl_np = nstack(lambda p: p["wkl"])
+                wb_np = nstack(lambda p: p["st"].wbrodl)
                 # cloud OD in its own jit (see od_clw_in in models/od.py)
-                oclw = clw_fn(jnp.asarray(t_np), jnp.asarray(clw_np))
+                with timer.stage("cloud-od"):
+                    oclw = clw_fn(t_np, clw_np)
                 if mesh is not None:
-                    oclw = put_prof(np.asarray(oclw))
+                    oclw = put_prof(oclw)
                 state_d = LayerState(
-                    p=put_prof(nstack(lambda p: p["st"].p)),
-                    t=put_prof(t_np),
-                    tz=put_prof(tz_np),
-                    wkl=put_prof(nstack(lambda p: p["wkl"])),
-                    wbrodl=put_prof(nstack(lambda p: p["st"].wbrodl)),
-                    clw=put_prof(nstack(lambda p: p["st"].clw)))
+                    p=put_prof(p_np), t=put_prof(t_np),
+                    tz=put_prof(tz_np), wkl=put_prof(wkl_np),
+                    wbrodl=put_prof(wb_np), clw=put_prof(clw_np))
                 ox = None
                 if has_x:
                     ox = put_prof(nstack(lambda p: p["od_xsec"]))
+                timer_h2d.__exit__(None, None, None)
 
                 lay_ok = None
                 if can_lor:
                     # per-layer zeta predicate -> engine choice: all
                     # layers Lorentz -> lean XLA sweep; some -> hybrid
-                    # layer split; none -> Pallas kernel
-                    rows = pull(jit_cache[("pred", nmol)](state_d))
+                    # layer split; none -> Pallas kernel.  Evaluated on
+                    # the LOCAL CPU backend where one exists: the check
+                    # is O(L x N) elementwise, and a remote first
+                    # compile costs 20-100 s (see clw_fn above); a
+                    # CPU-vs-TPU ulp flip at the zeta = 0.99 boundary
+                    # changes a lane's branch by at most the same shape
+                    # discontinuity the reference accepts at its switch
+                    # (modm.f90:427)
+                    with timer.stage("engine-predicate"):
+                        st_h = LayerState(p=p_np, t=t_np, tz=tz_np,
+                                          wkl=wkl_np, wbrodl=wb_np,
+                                          clw=clw_np)
+                        if _cpu0 is not None:
+                            with jax.default_device(_cpu0):
+                                rows = np.asarray(
+                                    jit_cache[("pred", nmol)](st_h))
+                        else:
+                            rows = pull(jit_cache[("pred", nmol)](
+                                state_d))
                     lay_ok = np.asarray(rows).all(axis=0)
 
                 # bound per-call device work by splitting the
