@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Run the six reference example cases (run/run_monortm_examples:20-123).
+"""Run the seven reference example cases (run/run_monortm_examples:20-123
++ the IATM=1 lidar upwelling input).
 
 The reference distribution's TAPE3 is a broken symlink in this snapshot, so
 a synthetic microwave catalog is written in its place (structure-identical
@@ -35,7 +36,7 @@ CASES = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cases", default="1,2,3,4,5,6")
+    ap.add_argument("--cases", default="1,2,3,4,5,6,7")
     ap.add_argument("--out", default="out_examples", type=Path)
     ap.add_argument("--tape3", default=None)
     ap.add_argument("--precision", default="float32")
