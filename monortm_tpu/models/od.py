@@ -343,12 +343,20 @@ class ODModel:
 
             sL, scL = sub(lor)
             sV, scV = sub(voigt)
-            out = jnp.concatenate(
-                [self.line_od_pallas(sL, scL, engine="lorentz-xla"),
-                 self.line_od_pallas(sV, scV, engine="pallas")],
-                axis=-3)
-            inv = _np.argsort(_np.asarray(lor + voigt))
-            return jnp.take(out, jnp.asarray(inv), axis=-3)
+            outL = self.line_od_pallas(sL, scL, engine="lorentz-xla")
+            outV = self.line_od_pallas(sV, scV, engine="pallas")
+            # scatter each engine's layers into a preallocated buffer
+            # (layer sets are disjoint and static): peak extra memory is
+            # one full-size buffer + the larger part, instead of the
+            # concatenate + inverse-permutation take's two full copies
+            out = jnp.zeros(outL.shape[:-3] + (L,) + outL.shape[-2:],
+                            outL.dtype)
+            ixL = jnp.asarray(_np.asarray(lor, _np.int32))
+            ixV = jnp.asarray(_np.asarray(voigt, _np.int32))
+            out = out.at[..., ixL, :, :].set(outL, unique_indices=True,
+                                             indices_are_sorted=True)
+            return out.at[..., ixV, :, :].set(outV, unique_indices=True,
+                                              indices_are_sorted=True)
         from monortm_tpu.ops.linesum_pallas import line_od_pallas
 
         p = jnp.asarray(state.p, self.dtype)
@@ -515,7 +523,7 @@ class ODModel:
 
     # ------------------------------------------------------------------
     def all_lorentz(self, state: LayerState, scor_flat=None,
-                    per_layer: bool = False):
+                    per_layer: bool = False, margin: float = 0.0):
         """Device scalar: True iff every valid (layer, line) pair takes
         the Lorentz branch (zeta > 0.99, modm.f90:427) — the regime in
         which the all-Lorentz XLA engine (ops/linesum_lorentz.py) is
@@ -531,7 +539,7 @@ class ODModel:
             self.dev_cat, jnp.asarray(state.p, dtype),
             jnp.asarray(state.t, dtype), jnp.asarray(state.wkl, dtype),
             jnp.asarray(state.wbrodl, dtype), scor_flat, self.line_cfg,
-            dtype, per_layer=per_layer)
+            dtype, per_layer=per_layer, margin=margin)
 
     def __call__(self, state: LayerState, od_xsec=None,
                  od_clw_in=None, engine: str | None = None,

@@ -38,11 +38,22 @@ MOL_O2 = 7
 
 @dataclass(frozen=True)
 class LineConfig:
-    """Driver knobs hardcoded in monortm.f90:285-289."""
+    """Driver knobs hardcoded in monortm.f90:285-289.
+
+    chi_fn: optional CO2 sub-Lorentzian form-factor hook — the TPU-native
+    counterpart of chi_fn (modm.f90:1253-1290, currently identity in the
+    reference: the commented-out polynomial/exponential form is dead code
+    behind `chi = 1.`).  When set, it receives the signed distance from
+    the (pressure-shifted) line centre, deltXNU = wn - nu [..., W, N],
+    and returns a multiplicative factor applied to every CO2 SLS branch
+    (the reference multiplies CHI into each CO2 pedestal expression,
+    modm.f90:507,549,558).  Must be a traceable jnp function; None keeps
+    the reference's identity behaviour with zero cost."""
     sclcpl: float = 1.0
     sclhw: float = 1.0
     y0res: float = 0.0
     ibrd: int = 0
+    chi_fn: object = None
 
 
 def catalog_to_host(cat: PackedCatalog, dtype=jnp.float32) -> dict:
@@ -314,6 +325,8 @@ def line_od_block(cat: dict, wn, wn_split, p, t, wk, wbrod, scor_flat,
                   k1 * y1 - xp4 - k3 * yp1,
                   k1 - xp4),
         k1 - xp4)
+    if cfg.chi_fn is not None:   # CO2 chi hook (modm.f90:507,549,558)
+        sls_co2 = sls_co2 * cfg.chi_fn(d1)
 
     sls = jnp.where(is_o2, sls_o2, jnp.where(is_co2, sls_co2, sls_other))
 

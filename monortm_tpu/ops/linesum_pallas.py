@@ -96,7 +96,8 @@ def _kernel(cmap_ref, cvalid_ref,
             nu_hi_ref, nu_lo_ref, sdep_ref,
             shift_ref, stild_ref, hw_ref, ad_ref, k3v_ref, ya_ref, yb_ref,
             fo2_ref, fco2_ref, fcpl_ref, fxf1_ref, fxf15_ref, fval_ref,
-            onehot_ref, out_ref, *, gate: bool, lt: int, wsub: int):
+            onehot_ref, out_ref, *, gate: bool, lt: int, wsub: int,
+            chi_fn=None):
     i = pl.program_id(1)       # wavenumber tile
     j = pl.program_id(2)       # candidate slot
     # wsub > 1 packs several 128-lane wn sub-tiles into one grid step
@@ -219,6 +220,8 @@ def _kernel(cmap_ref, cvalid_ref,
                 jnp.where(xf15, k1 * y1 - xp4 - k3 * ((y1 - 1.0) * ped),
                           k1 - xp4),
                 k1 - xp4)
+            if chi_fn is not None:   # CO2 chi hook (modm.f90:507+)
+                sls_co2 = sls_co2 * chi_fn(d1)
             sls = jnp.where(is_o2, sls_o2,
                             jnp.where(is_co2, sls_co2, sls_other))
 
@@ -328,7 +331,8 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                                    lambda l, i, j, cm, cv: (l, 0, i, 0)),
         )
         return pl.pallas_call(
-            functools.partial(_kernel, gate=gate, lt=lt, wsub=wsub),
+            functools.partial(_kernel, gate=gate, lt=lt, wsub=wsub,
+                              chi_fn=cfg.chi_fn),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((lb_loc, lt, wp_loc, n_mol),
                                            jnp.float32),
@@ -383,6 +387,19 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
         n_line = dict(mesh.shape).get("line", 1)
         assert n_wt % nw == 0, (n_wt, nw)
         assert n_cand % n_line == 0, (n_cand, n_line)
+        # the wn-axis segmentation above only runs single-device; under a
+        # mesh each shard must fit its own (1/nw x 1/n_line) slice of the
+        # candidate map in scalar-prefetch SMEM — check it up front with
+        # an actionable error instead of an opaque Mosaic compile failure
+        local_bytes = (n_wt // nw) * (n_cand // n_line) * 8
+        if local_bytes > _SMEM_MAP_BUDGET:
+            raise ValueError(
+                f"per-shard candidate map ({n_wt // nw} wn tiles x "
+                f"{n_cand // n_line} slots = {local_bytes} B) exceeds the "
+                f"{_SMEM_MAP_BUDGET} B scalar-prefetch budget; use more "
+                "'wn'/'line' mesh shards, or chunk the wavenumber grid "
+                "(pipeline layer/wn chunking), or run single-device where "
+                "the wn axis is segmented automatically")
         # candidate-slot columns additionally split over "line": each
         # shard sweeps its own candidate subset against the replicated
         # tiled catalog, partial sums contracted with one psum

@@ -248,9 +248,12 @@ def _max_batch(nwn: int, nlay: int, nmol: int, n_prof_shards: int = 1,
 
 
 def _auto_mesh(nprof: int):
-    """(prof, wn) mesh over all local devices: as much profile data
-    parallelism as the workload allows, the rest of the devices on the
-    wavenumber axis.  Returns None on a single device."""
+    """(prof, wn) mesh over all *global* devices (jax.devices()): as much
+    profile data parallelism as the workload allows, the rest of the
+    devices on the wavenumber axis.  In multi-controller runs the mesh
+    spans every process's devices — process-local shards are uploaded via
+    make_array_from_callback (see put_prof below).  Returns None on a
+    single device."""
     devs = jax.devices()
     n = len(devs)
     if n <= 1:
@@ -681,13 +684,20 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             # kernel's per-grid-step floor (BENCH_NOTES.md); the
             # predicate makes the switch exact, and both runs of a
             # mesh-vs-single comparison take the same branch
+            # (line-sharded meshes included: both engines contract the
+            # candidate columns over "line" with one psum)
             can_lor = model.od_model.use_pallas and \
-                engine in ("auto", "hybrid") and \
-                (mesh is None or dict(mesh.shape).get("line", 1) == 1)
+                engine in ("auto", "hybrid")
             if can_lor and ("pred", nmol) not in jit_cache:
+                # margin=1e-3 biases the predicate conservatively: the
+                # check runs on the local CPU backend while the engines
+                # run on TPU, and cross-backend f32 pow/exp differ by up
+                # to ~1e-4 relative (BENCH_NOTES accuracy budget); a
+                # boundary lane then keeps the full kernel, which is
+                # correct in both branches
                 jit_cache[("pred", nmol)] = jax.jit(
                     lambda s, m=model: m.od_model.all_lorentz(
-                        s, per_layer=True))
+                        s, per_layer=True, margin=1e-3))
 
             bmax = _max_batch(len(wn), nlay, nmol, n_prof_shards)
             for c0 in range(0, len(idxs), bmax):

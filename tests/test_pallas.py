@@ -232,3 +232,41 @@ def test_segmented_candidate_map_matches_unsegmented(monkeypatch):
     monkeypatch.setattr(lsp, "_SMEM_MAP_BUDGET", 64)   # force ~1 row/seg
     seg = np.asarray(build().line_od_pallas(state, sc))
     np.testing.assert_array_equal(whole, seg)
+
+
+def test_chi_fn_hook():
+    """CO2 chi-factor hook (modm.f90:1253-1290, identity in the
+    reference): a constant chi=0.5 must halve the CO2 line OD and leave
+    every other molecule bit-identical, in all three engines."""
+    from monortm_tpu.lines import group, pack, resolve
+
+    raw = synthetic_catalog_mw(n_h2o=48, n_o2=16, raw_lines=True)
+    m = raw.mol % 100
+    iso = raw.mol // 100
+    sel = (m == 1) & (np.arange(len(raw.mol)) % 3 == 0)
+    raw.mol[sel] = (2 + 100 * iso[sel]).astype(np.int32)
+    cat = pack(resolve(group(raw)), tile=128)
+
+    wn = np.linspace(0.4, 50.0, 64)
+    state = synthetic_state(nlay=3)
+    chi = lambda d: jnp.full_like(d, 0.5)
+
+    def build(cfg, use_pallas):
+        return ODModel(wn, dvset=float(wn[1] - wn[0]), catalog=cat,
+                       nmol=22, dtype=jnp.float32, wn_tile=32,
+                       line_tile=128, use_pallas=use_pallas,
+                       line_cfg=cfg)
+
+    for use_pallas, engine in [(False, None), (True, "pallas"),
+                               (True, "lorentz-xla")]:
+        m0 = build(LineConfig(), use_pallas)
+        m1 = build(LineConfig(chi_fn=chi), use_pallas)
+        a = np.asarray(m0(state, engine=engine).od_by_mol)  # [W, M, L]
+        b = np.asarray(m1(state, engine=engine).od_by_mol)
+        assert np.abs(a[:, 1, :]).max() > 0
+        np.testing.assert_allclose(b[:, 1, :], 0.5 * a[:, 1, :],
+                                   rtol=1e-6,
+                                   err_msg=f"engine={engine}")
+        keep = [i for i in range(a.shape[1]) if i != 1]
+        np.testing.assert_array_equal(b[:, keep, :], a[:, keep, :],
+                                      err_msg=f"engine={engine}")
