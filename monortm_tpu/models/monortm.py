@@ -91,7 +91,8 @@ class MonoRTM:
         return ForwardResult(rt=rt, od=od, emis=emis, refl=refl)
 
     def tb(self, state: LayerState, tsfc, emis, refl, irt: int,
-           od_xsec=None, engine: str | None = None):
+           od_xsec=None, engine: str | None = None, lor_layers=None):
         """Brightness temperatures only (jit-friendly thin wrapper)."""
         return self.forward(state, tsfc, emis, refl, irt, od_xsec,
-                            engine=engine).rt.tb
+                            engine=engine,
+                            lor_layers=lor_layers).rt.tb

@@ -580,7 +580,17 @@ class ODModel:
         # ops/xsec.py) — tiny workload, data-dependent truncation
         o_x = None if od_xsec is None else jnp.asarray(od_xsec, dtype)
 
-        total = jnp.sum(od_lines, axis=-1)                    # [..., L, W]
+        # molecule-axis sum in a FIXED sequential order (lax.scan): a
+        # plain jnp.sum lets XLA pick a shape-dependent reduction order,
+        # and under a (prof, wn) mesh the per-shard W extent changes that
+        # order — the one reassociation that made mesh and single-device
+        # od_total differ by 1 f32 ulp on case 1 (every *component* was
+        # bitwise identical; found by the case-1 multi-controller
+        # byte-compare).  The scan pins the chain, restoring the bitwise
+        # mesh-independence guarantee end-to-end.
+        mm = jnp.moveaxis(od_lines, -1, 0)
+        total, _ = jax.lax.scan(lambda c, v: (c + v, None),
+                                jnp.zeros(mm.shape[1:], mm.dtype), mm)
         for sp in SPECIES[:-1]:
             total = total + oc[sp]
         total = total + oc["rayleigh"] + o_clw

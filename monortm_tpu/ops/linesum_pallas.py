@@ -232,6 +232,172 @@ def _kernel(cmap_ref, cvalid_ref,
                 preferred_element_type=jnp.float32)
 
 
+def _contrib_block(wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2, is_co2,
+                   has_cpl, xf1, xf15, valid,
+                   shift, stild, hw, ad, k3v, ya, yb, chi_fn):
+    """Ungated per-block forward math -> contrib [W, Nt].
+
+    Mirrors _kernel's gated branch value-for-value (the gating there is a
+    compute skip, not a semantics change); used by the backward kernel,
+    which re-derives the block under jax.vjp so the cotangents are the
+    exact adjoint of the shipped forward — including every Humlicek /
+    SD-Voigt rational, the branch trees, and the pedestal subtraction."""
+    xnu = nu_hi + (nu_lo + shift)
+    d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift
+    dsum = wn_hi + xnu
+
+    mirror = (dsum - DELTNU_CUT) <= 0.0
+    within = jnp.abs(d1) <= DELTNU_CUT
+    keep = (within | is_o2) & valid
+
+    zlor = hw * jnp.float32(0.01) > ad * jnp.float32(0.99)
+    use_lor = (jnp.abs(d1) > 100.0 * ad) | zlor
+    k3l = xlorentz(DELTNU_CUT / hw) / hw
+    k3 = jnp.where(use_lor, k3l, k3v)
+
+    hw_pi = hw * (1.0 / jnp.float32(np.pi))
+    pi_hw2 = hw * hw
+
+    def K(dd):
+        dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape))
+        return jnp.where(use_lor, hw_pi / (pi_hw2 + dd * dd), dv)
+
+    k1 = K(d1)
+    k2 = K(dsum)
+
+    y1 = 1.0 + ya * d1 + yb
+    y2 = 1.0 - ya * dsum + yb
+    y1p = 1.0 + ya * DELTNU_CUT + yb
+    y2p = 1.0 - ya * DELTNU_CUT + yb
+    ped = 2.0 - (d1 * d1) / (DELTNU_CUT * DELTNU_CUT)
+
+    sls_other = jnp.where(
+        has_cpl,
+        y1 * k1 - y1p * k3 + jnp.where(mirror, y2 * k2 - y2p * k3, 0.0),
+        k1 - k3 + jnp.where(mirror, k2 - k3, 0.0))
+    sls_o2 = jnp.where(
+        has_cpl,
+        jnp.where(xf1, k1 * y1 + k2 * y2, k1 + k2),
+        jnp.where(within, k1 + jnp.where(mirror, k2, 0.0), 0.0))
+    xp4 = k3 * ped
+    sls_co2 = jnp.where(
+        has_cpl,
+        jnp.where(xf15, k1 * y1 - xp4 - k3 * ((y1 - 1.0) * ped),
+                  k1 - xp4),
+        k1 - xp4)
+    if chi_fn is not None:
+        sls_co2 = sls_co2 * chi_fn(d1)
+    sls = jnp.where(is_o2, sls_o2,
+                    jnp.where(is_co2, sls_co2, sls_other))
+    return jnp.where(keep, sls, 0.0) * stild
+
+
+def _bwd_kernel(rmap_ref, rvalid_ref,
+                wn_hi_ref, wn_lo_ref,
+                nu_hi_ref, nu_lo_ref, sdep_ref,
+                shift_ref, stild_ref, hw_ref, ad_ref, k3v_ref, ya_ref,
+                yb_ref,
+                fo2_ref, fco2_ref, fcpl_ref, fxf1_ref, fxf15_ref, fval_ref,
+                onehot_ref, g_ref,
+                dshift_ref, dstild_ref, dhw_ref, dad_ref, dk3v_ref,
+                dya_ref, dyb_ref, *, lt: int, chi_fn=None):
+    """Adjoint sweep: grid (layer-pack, catalog tile k, reverse slot s).
+
+    The reverse map lists, for each catalog line tile, the wavenumber
+    tiles whose candidate lists contain it — the transpose of the
+    forward's block-sparse map, so the backward touches exactly the
+    blocks the forward did.  Each step pulls the cotangent block
+    g [wt, n_mol], contracts it against the tile's one-hot on the MXU
+    (gbar = g @ onehot^T — the transpose of the forward's attribution
+    matmul), re-derives the forward block under jax.vjp, and accumulates
+    the seven per-(layer, line) cotangents into [1, lt, nt] out blocks
+    resident across the s sweep."""
+    k = pl.program_id(1)
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        for r in (dshift_ref, dstild_ref, dhw_ref, dad_ref, dk3v_ref,
+                  dya_ref, dyb_ref):
+            r[...] = jnp.zeros_like(r)
+
+    @pl.when(rvalid_ref[k, s] > 0)
+    def _compute():
+        nu_hi = nu_hi_ref[0, :][None, :]
+        nu_lo = nu_lo_ref[0, :][None, :]
+        sdep = sdep_ref[0, :][None, :]
+        is_o2 = fo2_ref[0, :][None, :] > 0.5
+        is_co2 = fco2_ref[0, :][None, :] > 0.5
+        has_cpl = fcpl_ref[0, :][None, :] > 0.5
+        xf1 = fxf1_ref[0, :][None, :] > 0.5
+        xf15 = fxf15_ref[0, :][None, :] > 0.5
+        valid = fval_ref[0, :][None, :] > 0.5
+        wn_hi = wn_hi_ref[0, :][:, None]
+        wn_lo = wn_lo_ref[0, :][:, None]
+
+        for q in range(lt):
+            g_blk = g_ref[0, q, :, :]                      # [wt, M]
+            gbar = jax.lax.dot_general(                    # [wt, nt]
+                g_blk, onehot_ref[...],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            def f(shift, stild, hw, ad, k3v, ya, yb):
+                return _contrib_block(
+                    wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2, is_co2,
+                    has_cpl, xf1, xf15, valid,
+                    shift, stild, hw, ad, k3v, ya, yb, chi_fn)
+
+            args = (shift_ref[0, q, :][None, :],
+                    stild_ref[0, q, :][None, :],
+                    hw_ref[0, q, :][None, :],
+                    ad_ref[0, q, :][None, :],
+                    k3v_ref[0, q, :][None, :],
+                    ya_ref[0, q, :][None, :],
+                    yb_ref[0, q, :][None, :])
+            _, vjp = jax.vjp(f, *args)
+            ds = vjp(gbar)
+            for r, d in zip((dshift_ref, dstild_ref, dhw_ref, dad_ref,
+                             dk3v_ref, dya_ref, dyb_ref), ds):
+                r[0, q, :] += d[0, :]
+
+
+def _reverse_map(cand_map, cand_valid, k_tiles: int):
+    """Transpose of the candidate map: for each catalog tile, the wn
+    tiles that list it as a candidate (host, static)."""
+    cm = np.asarray(cand_map)
+    cv = np.asarray(cand_valid)
+    lists: list[list[int]] = [[] for _ in range(k_tiles)]
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            if cv[i, j]:
+                lists[cm[i, j]].append(i)
+    n_rev = max(max((len(x) for x in lists), default=1), 1)
+    rmap = np.zeros((k_tiles, n_rev), np.int32)
+    rvalid = np.zeros((k_tiles, n_rev), np.int32)
+    for kk, x in enumerate(lists):
+        rmap[kk, :len(x)] = x
+        rvalid[kk, :len(x)] = 1
+    return rmap, rvalid
+
+
+def _budget_segments(counts, budget_entries: int):
+    """Split a row axis into contiguous segments whose (rows x trimmed
+    max-count) stays under the entry budget; valid entries are packed
+    leftmost so trimming columns per segment is lossless."""
+    segs, r0, maxc = [], 0, 0
+    for i in range(len(counts)):
+        c = max(int(counts[i]), 1)
+        rows = i - r0 + 1
+        if rows * max(maxc, c) > budget_entries and rows > 1:
+            segs.append((r0, i, maxc))
+            r0, maxc = i, c
+        else:
+            maxc = max(maxc, c)
+    segs.append((r0, len(counts), max(maxc, 1)))
+    return segs
+
+
 def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                    cand_map: np.ndarray, cand_valid: np.ndarray,
                    nt: int, wt: int,
@@ -271,8 +437,7 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     assert n % nt == 0, (n, nt)
 
     # pack lt layers per grid step (sublane-full per-(layer, line)
-    # operand loads; the per-line/flag/one-hot blocks amortize across
-    # the packed layers).  The layer axis pads up to a multiple of
+    # operand loads).  The layer axis pads up to a multiple of
     # lt x mesh-prof-shards by repeating layer 0; padding is cropped.
     np_ = mesh.shape["prof"] if (mesh is not None
                                  and mesh.devices.size > 1) else 1
@@ -288,7 +453,17 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
     n_cand = cand_map.shape[1]
     assert cand_map.shape == (n_wt, n_cand), (cand_map.shape, n_wt)
 
+    # everything below except pre_ln is a CONSTANT under jit (host numpy
+    # catalog/plan data), so closing over it inside the custom_vjp
+    # functions is safe; the seven state-dependent per-(layer, line)
+    # tensors are the differentiable boundary
     onehot = jax.nn.one_hot(tiled_cat["mol"] - 1, n_mol, dtype=dtype)
+    wn_args = [jnp.asarray(wn_hi, dtype)[None, :],
+               jnp.asarray(wn_lo, dtype)[None, :]]
+    per_l_args = [pre[k][None, :] for k in PER_L]
+    flag_args = [pre["flags"][k][None, :] for k in FLAGS]
+    pre_ln = tuple(jnp.broadcast_to(pre[k], (L, n)) if pre[k].ndim == 1
+                   else pre[k] for k in PER_LN)
 
     # index maps receive the grid indices then the scalar-prefetch refs;
     # blocks that don't depend on j stay resident across candidate steps
@@ -296,27 +471,23 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
         pl.BlockSpec((1, wt), lambda l, i, j, cm, cv: (0, i)),   # wn_hi
         pl.BlockSpec((1, wt), lambda l, i, j, cm, cv: (0, i)),   # wn_lo
     ]
-    args = [jnp.asarray(wn_hi, dtype)[None, :],
-            jnp.asarray(wn_lo, dtype)[None, :]]
     cand_spec = lambda l, i, j, cm, cv: (0, cm[i, j])
     for k in PER_L:
-        args.append(pre[k][None, :])
         in_specs.append(pl.BlockSpec((1, nt), cand_spec))
     for k in PER_LN:
-        v = pre[k]
-        v = jnp.broadcast_to(v, (L, n)) if v.ndim == 1 else v
-        if lp != L:
-            v = jnp.concatenate(
-                [v, jnp.broadcast_to(v[:1], (lp - L, n))], axis=0)
-        args.append(v.reshape(lp // lt, lt, n))      # [Lb, lt, N]
         in_specs.append(pl.BlockSpec(
             (1, lt, nt), lambda l, i, j, cm, cv: (l, 0, cm[i, j])))
     for k in FLAGS:
-        args.append(pre["flags"][k][None, :])
         in_specs.append(pl.BlockSpec((1, nt), cand_spec))
-    args.append(onehot)
     in_specs.append(pl.BlockSpec((nt, n_mol),
                                  lambda l, i, j, cm, cv: (cm[i, j], 0)))
+
+    def shape_ln(v):
+        # [L, n] -> [lp//lt, lt, n]; layer padding repeats layer 0
+        if lp != L:
+            v = jnp.concatenate(
+                [v, jnp.broadcast_to(v[:1], (lp - L, n))], axis=0)
+        return v.reshape(lp // lt, lt, n)
 
     def call(cm, cv, *a):
         # grid from *local* shapes so the same body serves the plain call
@@ -341,9 +512,12 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
             interpret=interpret,
         )(cm, cv, *a)
 
-    cm = jnp.asarray(cand_map, jnp.int32)
-    cv = jnp.asarray(cand_valid, jnp.int32)
-    if mesh is None or mesh.devices.size <= 1:
+    cm_d = jnp.asarray(cand_map, jnp.int32)
+    cv_d = jnp.asarray(cand_valid, jnp.int32)
+    cv_h = np.asarray(cand_valid)
+    single = mesh is None or mesh.devices.size <= 1
+
+    if single:
         # Large grids (the 80k-wn reference envelope): the full
         # [n_wt, n_cand] scalar-prefetch map can exceed the ~1 MB SMEM.
         # Split the wn-tile axis into contiguous segments, each with its
@@ -352,71 +526,149 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
         # pallas_call per segment — identical semantics, bounded SMEM,
         # and nt stays at the fast 256 instead of the nt=512 big-block
         # penalty the chunked r3 envelope paid (BENCH_NOTES.md).
-        # Under a mesh each shard's local map is already 1/n_wn of the
-        # total, so segmentation is applied on the single-device path.
-        cv_h = np.asarray(cand_valid)
-        budget = _SMEM_MAP_BUDGET
-        if cv_h.shape[0] * cv_h.shape[1] * 8 <= budget:
-            sf = call(cm, cv, *args)
-        else:
-            counts = cv_h.sum(axis=1)
-            segs, r0, maxc = [], 0, 0
-            for i in range(cv_h.shape[0]):
-                c = max(int(counts[i]), 1)
-                rows = i - r0 + 1
-                if rows * max(maxc, c) * 8 > budget and rows > 1:
-                    segs.append((r0, i, maxc))
-                    r0, maxc = i, c
-                else:
-                    maxc = max(maxc, c)
-            segs.append((r0, cv_h.shape[0], max(maxc, 1)))
-            cm_h = np.asarray(cand_map)
-            parts = []
-            for s0, s1, nc in segs:
-                a_s = list(args)
-                a_s[0] = args[0][:, s0 * wt:s1 * wt]
-                a_s[1] = args[1][:, s0 * wt:s1 * wt]
-                parts.append(call(jnp.asarray(cm_h[s0:s1, :nc]),
-                                  jnp.asarray(cv_h[s0:s1, :nc]
-                                              .astype(np.int32)),
-                                  *a_s))
-            sf = jnp.concatenate(parts, axis=2)
-        return sf.reshape(lp, wp, n_mol)[:L]
+        fwd_segs = None
+        if cv_h.shape[0] * cv_h.shape[1] * 8 > _SMEM_MAP_BUDGET:
+            fwd_segs = _budget_segments(cv_h.sum(axis=1),
+                                        _SMEM_MAP_BUDGET // 8)
     else:
         nw = mesh.shape["wn"]
-        n_line = dict(mesh.shape).get("line", 1)
+        n_line_m = dict(mesh.shape).get("line", 1)
         assert n_wt % nw == 0, (n_wt, nw)
-        assert n_cand % n_line == 0, (n_cand, n_line)
-        # the wn-axis segmentation above only runs single-device; under a
-        # mesh each shard must fit its own (1/nw x 1/n_line) slice of the
-        # candidate map in scalar-prefetch SMEM — check it up front with
-        # an actionable error instead of an opaque Mosaic compile failure
-        local_bytes = (n_wt // nw) * (n_cand // n_line) * 8
+        assert n_cand % n_line_m == 0, (n_cand, n_line_m)
+        # the wn-axis segmentation only runs single-device; under a
+        # mesh each shard must fit its own (1/nw x 1/n_line) slice of
+        # the candidate map in scalar-prefetch SMEM — check it up front
+        # with an actionable error instead of an opaque Mosaic failure
+        local_bytes = (n_wt // nw) * (n_cand // n_line_m) * 8
         if local_bytes > _SMEM_MAP_BUDGET:
             raise ValueError(
                 f"per-shard candidate map ({n_wt // nw} wn tiles x "
-                f"{n_cand // n_line} slots = {local_bytes} B) exceeds the "
-                f"{_SMEM_MAP_BUDGET} B scalar-prefetch budget; use more "
-                "'wn'/'line' mesh shards, or chunk the wavenumber grid "
-                "(pipeline layer/wn chunking), or run single-device where "
-                "the wn axis is segmented automatically")
-        # candidate-slot columns additionally split over "line": each
-        # shard sweeps its own candidate subset against the replicated
-        # tiled catalog, partial sums contracted with one psum
-        line_ax = "line" if n_line > 1 else None
-        body = call
-        if n_line > 1:
-            body = lambda cm_, cv_, *a: jax.lax.psum(
-                call(cm_, cv_, *a), "line")
-        specs = ([P("wn", line_ax), P("wn", line_ax),    # cand map/valid
-                  P(None, "wn"), P(None, "wn")]          # wn hi/lo
-                 + [P(None, None)] * len(PER_L)
-                 + [P("prof", None, None)] * len(PER_LN)
-                 + [P(None, None)] * len(FLAGS)
-                 + [P(None, None)])                       # one-hot
-        # check_vma=False: pallas_call's out_shape carries no varying-axes
-        # info; the out_specs fully describe the sharding here
-        sf = shard_map(body, mesh=mesh, in_specs=tuple(specs),
-                       out_specs=P("prof", None, "wn", None),
-                       check_vma=False)(cm, cv, *args)
-    return sf.reshape(lp, wp, n_mol)[:L]
+                f"{n_cand // n_line_m} slots = {local_bytes} B) exceeds "
+                f"the {_SMEM_MAP_BUDGET} B scalar-prefetch budget; use "
+                "more 'wn'/'line' mesh shards, or chunk the wavenumber "
+                "grid (pipeline layer/wn chunking), or run single-device "
+                "where the wn axis is segmented automatically")
+
+    def fwd_impl(pre_ln7):
+        ln_args = [shape_ln(v) for v in pre_ln7]
+        args = wn_args + per_l_args + ln_args + flag_args + [onehot]
+        if single:
+            if fwd_segs is None:
+                sf = call(cm_d, cv_d, *args)
+            else:
+                cm_h = np.asarray(cand_map)
+                parts = []
+                for s0, s1, nc in fwd_segs:
+                    a_s = list(args)
+                    a_s[0] = args[0][:, s0 * wt:s1 * wt]
+                    a_s[1] = args[1][:, s0 * wt:s1 * wt]
+                    parts.append(call(jnp.asarray(cm_h[s0:s1, :nc]),
+                                      jnp.asarray(cv_h[s0:s1, :nc]
+                                                  .astype(np.int32)),
+                                      *a_s))
+                sf = jnp.concatenate(parts, axis=2)
+        else:
+            n_line = dict(mesh.shape).get("line", 1)
+            line_ax = "line" if n_line > 1 else None
+            # candidate-slot columns additionally split over "line":
+            # each shard sweeps its own candidate subset against the
+            # replicated tiled catalog, partials contracted with one psum
+            body = call
+            if n_line > 1:
+                body = lambda cm_, cv_, *a: jax.lax.psum(
+                    call(cm_, cv_, *a), "line")
+            specs = ([P("wn", line_ax), P("wn", line_ax),  # cand map/valid
+                      P(None, "wn"), P(None, "wn")]        # wn hi/lo
+                     + [P(None, None)] * len(PER_L)
+                     + [P("prof", None, None)] * len(PER_LN)
+                     + [P(None, None)] * len(FLAGS)
+                     + [P(None, None)])                     # one-hot
+            # check_vma=False: pallas_call's out_shape carries no
+            # varying-axes info; the out_specs fully describe it
+            sf = shard_map(body, mesh=mesh, in_specs=tuple(specs),
+                           out_specs=P("prof", None, "wn", None),
+                           check_vma=False)(cm_d, cv_d, *args)
+        return sf.reshape(lp, wp, n_mol)[:L]
+
+    def bwd_impl(pre_ln7, g):
+        # adjoint sweep over the REVERSE candidate map: same block
+        # sparsity as the forward, transposed.  Single-device (incl. the
+        # segmented-envelope path); under a mesh differentiate through
+        # engine="lorentz-xla" or the dense engine instead.
+        if not single:
+            raise NotImplementedError(
+                "pallas line-kernel VJP under a device mesh is not "
+                "wired; use engine='lorentz-xla' (exact where "
+                "zeta > 0.99), the dense XLA engine, or take gradients "
+                "single-device")
+        ln_args = [shape_ln(v) for v in pre_ln7]
+        if lp != L:
+            g = jnp.concatenate(
+                [g, jnp.zeros((lp - L,) + g.shape[1:], g.dtype)], axis=0)
+        g4 = g.reshape(lp // lt, lt, wp, n_mol)
+        k_tiles = n // nt
+        rmap, rvalid = _reverse_map(cand_map, cand_valid, k_tiles)
+        if rmap.shape[0] * rmap.shape[1] * 8 > _SMEM_MAP_BUDGET:
+            segs = _budget_segments(rvalid.sum(axis=1),
+                                    _SMEM_MAP_BUDGET // 8)
+        else:
+            segs = [(0, k_tiles, rmap.shape[1])]
+
+        rev_wn = lambda l, k, s, rm, rv: (0, rm[k, s])
+        k_l = lambda l, k, s, rm, rv: (0, k)
+        k_ln = lambda l, k, s, rm, rv: (l, 0, k)
+        bwd_specs = (
+            [pl.BlockSpec((1, wt), rev_wn), pl.BlockSpec((1, wt), rev_wn)]
+            + [pl.BlockSpec((1, nt), k_l)] * len(PER_L)
+            + [pl.BlockSpec((1, lt, nt), k_ln)] * len(PER_LN)
+            + [pl.BlockSpec((1, nt), k_l)] * len(FLAGS)
+            + [pl.BlockSpec((nt, n_mol), lambda l, k, s, rm, rv: (k, 0)),
+               pl.BlockSpec((1, lt, wt, n_mol),
+                            lambda l, k, s, rm, rv: (l, 0, rm[k, s], 0))])
+        out_spec = pl.BlockSpec((1, lt, nt), k_ln)
+
+        parts = []
+        for s0, s1, nc in segs:
+            sl = slice(s0 * nt, s1 * nt)
+            a_s = (wn_args
+                   + [v[:, sl] for v in per_l_args]
+                   + [v[:, :, sl] for v in ln_args]
+                   + [v[:, sl] for v in flag_args]
+                   + [onehot[sl], g4])
+            k_loc = s1 - s0
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(lp // lt, k_loc, nc),
+                in_specs=bwd_specs,
+                out_specs=(out_spec,) * len(PER_LN))
+            parts.append(pl.pallas_call(
+                functools.partial(_bwd_kernel, lt=lt, chi_fn=cfg.chi_fn),
+                grid_spec=grid_spec,
+                out_shape=tuple(jax.ShapeDtypeStruct(
+                    (lp // lt, lt, k_loc * nt), jnp.float32)
+                    for _ in PER_LN),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel",
+                                         "arbitrary")),
+                interpret=interpret,
+            )(jnp.asarray(rmap[s0:s1, :nc]),
+              jnp.asarray(rvalid[s0:s1, :nc]), *a_s))
+        if len(parts) == 1:
+            outs = parts[0]
+        else:
+            outs = tuple(jnp.concatenate([p_[i] for p_ in parts], axis=2)
+                         for i in range(len(PER_LN)))
+        return tuple(o.reshape(lp, n)[:L] for o in outs)
+
+    @jax.custom_vjp
+    def sf_fn(*pre_ln7):
+        return fwd_impl(pre_ln7)
+
+    def sf_fwd(*pre_ln7):
+        return fwd_impl(pre_ln7), pre_ln7
+
+    def sf_bwd(res, g):
+        return bwd_impl(res, g)
+
+    sf_fn.defvjp(sf_fwd, sf_bwd)
+    return sf_fn(*pre_ln)

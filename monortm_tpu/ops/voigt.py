@@ -225,17 +225,26 @@ def sdvoigt(deltnu, alphal, alphad, sdep, sdep_tiny: float = 1.0e-4,
         use_sd = use_sd & (delta < 1.0e6)
     alfadelta = alfa + delta
 
-    tmp = jnp.sqrt(alfadelta * alfadelta + beta * beta)
-    sqrt_delta = jnp.sqrt(delta)
+    # the _safe_sqrt guards keep forward values bit-identical
+    # (sqrt(where(u>0, u, 1)) selected only where u > 0) while making the
+    # VJP finite: a plain sqrt(0) has an infinite derivative, and the
+    # cotangent 0 * inf from an unselected lane would poison the whole
+    # backward sweep of the Pallas kernel's custom_vjp with NaNs
+    def _safe_sqrt(u):
+        return jnp.where(u > 0.0, jnp.sqrt(jnp.where(u > 0.0, u, 1.0)),
+                         0.0)
+
+    tmp = _safe_sqrt(alfadelta * alfadelta + beta * beta)
+    sqrt_delta = _safe_sqrt(delta)
     # 1/sqrt(2) as a weak-typed Python float: jnp.sqrt(2.0) would be a
     # strong f64 constant under x64 and poison f32 Pallas kernels
-    x1 = (1.0 / math.sqrt(2.0)) * jnp.sqrt(tmp + alfadelta) - sqrt_delta
+    x1 = (1.0 / math.sqrt(2.0)) * _safe_sqrt(tmp + alfadelta) - sqrt_delta
     x2 = x1 + 2.0 * sqrt_delta
     # (tmp - delta - alfa) is >= 0 in exact arithmetic (tmp = |alfa+delta|
     # at beta=0); emulated-f64 rounding can leave a tiny negative residue at
     # line centre, and sign(0)*sqrt(-eps) would poison the result with NaN
     # (hazard latent in the reference too, modm.f90:1051) — clamp at 0
-    y1 = jnp.sign(beta) * jnp.sqrt(
+    y1 = jnp.sign(beta) * _safe_sqrt(
         jnp.maximum((tmp - delta - alfa) / 2.0, 0.0))
     y2 = y1
 

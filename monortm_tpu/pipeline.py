@@ -663,200 +663,246 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         host_bytes[0] += a.nbytes
         return a
 
+    # ---- flatten (group, chunk) work items so the pipeline below can
+    # overlap across group boundaries too ------------------------------
+    work: list[dict] = []
+    for (nlay, irt, nmol, has_x), idxs in groups.items():
+        if nmol not in model_cache:
+            with timer.stage("model-build"):
+                model_cache[nmol] = MonoRTM(
+                    wn, cfg.dvset, catalog, nmol=nmol,
+                    factors=cfg.factors,
+                    line_cfg=LineConfig(ibrd=cfg.ibrd),
+                    dtype=dtype, wn_tile=wn_tile,
+                    line_tile=line_tile,
+                    use_pallas=use_pallas, mesh=mesh)
+        model = model_cache[nmol]
+        # runtime engine dispatch: in the all-Lorentz regime (zeta >
+        # 0.99 for every line/layer — the common microwave case,
+        # modm.f90:419-431) the lean XLA sweep beats the Pallas
+        # kernel's per-grid-step floor (BENCH_NOTES.md); the
+        # predicate makes the switch exact, and both runs of a
+        # mesh-vs-single comparison take the same branch
+        # (line-sharded meshes included: both engines contract the
+        # candidate columns over "line" with one psum)
+        can_lor = model.od_model.use_pallas and \
+            engine in ("auto", "hybrid")
+        if can_lor and ("pred", nmol) not in jit_cache:
+            # margin=1e-3 biases the predicate conservatively: the
+            # check runs on the local CPU backend while the engines
+            # run on TPU, and cross-backend f32 pow/exp differ by up
+            # to ~1e-4 relative (BENCH_NOTES accuracy budget); a
+            # boundary lane then keeps the full kernel, which is
+            # correct in both branches
+            jit_cache[("pred", nmol)] = jax.jit(
+                lambda s, m=model: m.od_model.all_lorentz(
+                    s, per_layer=True, margin=1e-3))
+        bmax = _max_batch(len(wn), nlay, nmol, n_prof_shards)
+        for c0 in range(0, len(idxs), bmax):
+            work.append(dict(nlay=nlay, irt=irt, nmol=nmol, has_x=has_x,
+                             can_lor=can_lor, chunk=idxs[c0:c0 + bmax]))
+    if work and "rt" not in jit_cache:
+        jit_cache["rt"] = _rt_parts_fn()
+
+    def host_prep(item):
+        """Stage A: stack the chunk's host arrays, cloud OD and the
+        engine predicate — pure host / local-CPU work.  Runs on the
+        prefetch thread for chunk N+1 while the device executes chunk N
+        (the reference's serial profile loop, monortm.f90:357, is the
+        thing being overlapped away)."""
+        prs = [prepped[i] for i in item["chunk"]]
+        # pad the batch to a full set of "prof" shards (padding
+        # repeats the last profile; its outputs are dropped)
+        npad = (-len(prs)) % n_prof_shards
+        prs = prs + [prs[-1]] * npad
+        with timer.stage("host-stack"):
+            nstack = lambda f: np.stack([f(p) for p in prs]).astype(npdt)
+            h = dict(t=nstack(lambda p: p["st"].t),
+                     tz=nstack(lambda p: p["st"].tz),
+                     tsfc=nstack(lambda p: np.asarray([p["tbound"]])),
+                     clw=nstack(lambda p: p["st"].clw),
+                     p=nstack(lambda p: p["st"].p),
+                     wkl=nstack(lambda p: p["wkl"]),
+                     wb=nstack(lambda p: p["st"].wbrodl))
+            if item["has_x"]:
+                h["ox"] = nstack(lambda p: p["od_xsec"])
+        # cloud OD in its own jit (see od_clw_in in models/od.py)
+        with timer.stage("cloud-od"):
+            h["oclw"] = clw_fn(h["t"], h["clw"])
+        if item["can_lor"]:
+            # per-layer zeta predicate -> engine choice: all layers
+            # Lorentz -> lean XLA sweep; some -> hybrid layer split;
+            # none -> Pallas kernel.  Evaluated on the LOCAL CPU
+            # backend where one exists: the check is O(L x N)
+            # elementwise, and a remote first compile costs 20-100 s
+            # (see clw_fn above)
+            with timer.stage("engine-predicate"):
+                st_h = LayerState(p=h["p"], t=h["t"], tz=h["tz"],
+                                  wkl=h["wkl"], wbrodl=h["wb"],
+                                  clw=h["clw"])
+                pred = jit_cache[("pred", item["nmol"])]
+                if _cpu0 is not None:
+                    with jax.default_device(_cpu0):
+                        rows = np.asarray(pred(st_h))
+                else:
+                    rows = np.asarray(pred(st_h))
+            h["lay_ok"] = np.asarray(rows).all(axis=0)
+        item["host"] = h
+        return item
+
+    def dispatch(item):
+        """Stage B: upload + enqueue the chunk's device work.  All jax
+        dispatch is asynchronous, so this returns device futures; the
+        synchronous pull happens in finalize() AFTER the next chunk has
+        been dispatched, keeping the device busy across chunks."""
+        h = item.pop("host")
+        nlay, nmol = item["nlay"], item["nmol"]
+        model = model_cache[nmol]
+        with timer.stage("host->device"):
+            oclw = h["oclw"]
+            if mesh is not None:
+                oclw = put_prof(oclw)
+            state_d = LayerState(
+                p=put_prof(h["p"]), t=put_prof(h["t"]),
+                tz=put_prof(h["tz"]), wkl=put_prof(h["wkl"]),
+                wbrodl=put_prof(h["wb"]), clw=put_prof(h["clw"]))
+            ox = put_prof(h["ox"]) if "ox" in h else None
+        lay_ok = h.get("lay_ok")
+
+        # bound per-call device work by splitting the (independent)
+        # layer axis: the reference envelope (200 layers x 80k wn x
+        # 250k lines) is ~2 min in one program, past the backend's
+        # execution limit; layer chunks keep each call ~25 s worst-case
+        # and partial sums combine in fixed chunk order (deterministic)
+        per_layer = len(wn) * max(model.od_model.catalog.n_lines, 1)
+        lay_cap = max(1, int(_MAX_OD_EVALS_PER_CALL // per_layer))
+        lay_splits = list(range(0, nlay, lay_cap)) + [nlay]
+
+        def od_call(l0, l1):
+            eng, lor_lay = None, ()
+            if lay_ok is not None:
+                sub = lay_ok[l0:l1]
+                if sub.all():
+                    eng = "lorentz-xla"
+                elif sub.any():
+                    eng = "hybrid"
+                    lor_lay = tuple(np.nonzero(sub)[0].tolist())
+            key = (nmol, eng, lor_lay, l1 - l0 if lay_cap < nlay
+                   else None)
+            if key not in jit_cache:
+                jit_cache[key] = _od_fn(model, keep_full=netcdf,
+                                        engine=eng,
+                                        lor_layers=lor_lay)
+            if l0 == 0 and l1 == nlay:
+                return jit_cache[key](state_d, ox, oclw)
+            sl = lambda x, ax: (None if x is None else
+                                jax.lax.slice_in_dim(x, l0, l1,
+                                                     axis=ax))
+            st_c = LayerState(
+                p=sl(state_d.p, -1), t=sl(state_d.t, -1),
+                tz=jax.lax.slice_in_dim(state_d.tz, l0, l1 + 1,
+                                        axis=-1),
+                wkl=sl(state_d.wkl, -2),
+                wbrodl=sl(state_d.wbrodl, -1),
+                clw=sl(state_d.clw, -1))
+            return jit_cache[key](st_c, sl(ox, -2), sl(oclw, -2))
+
+        with timer.stage("device-dispatch"):
+            if len(lay_splits) <= 2:
+                odt, red, odfull = od_call(0, nlay)
+            else:
+                chunks = [od_call(l0, l1) for l0, l1 in
+                          zip(lay_splits[:-1], lay_splits[1:])
+                          if l1 > l0]
+                odt = jnp.concatenate([c[0] for c in chunks],
+                                      axis=-1)
+                red = chunks[0][1]
+                for c in chunks[1:]:
+                    red = jax.tree_util.tree_map(jnp.add, red, c[1])
+                odfull = None
+                if netcdf and chunks[0][2] is not None:
+                    from monortm_tpu.models.od import ODResult
+                    cat3 = lambda f, ax: jnp.concatenate(
+                        [f(c[2]) for c in chunks], axis=ax)
+                    odfull = ODResult(
+                        od_total=cat3(lambda o: o.od_total, -1),
+                        od_by_mol=cat3(lambda o: o.od_by_mol, -1),
+                        oc={k: cat3(lambda o, k=k: o.oc[k], -2)
+                            for k in chunks[0][2].oc},
+                        od_clw=cat3(lambda o: o.od_clw, -2),
+                        od_xsec=(cat3(lambda o: o.od_xsec, -2)
+                                 if chunks[0][2].od_xsec
+                                 is not None else None))
+            parts = rt_fn_call(odt, state_d.t, state_d.tz)
+        item.update(parts=parts, red=red, odt=odt, odfull=odfull,
+                    tsfc=h["tsfc"])
+        return item
+
+    def finalize(item):
+        """Stage C: synchronous device->host pull + the O(W) NumPy
+        boundary combine + result storage."""
+        with timer.stage("device->host"):
+            parts_h = jax.tree_util.tree_map(pull, item["parts"])
+            red_h = jax.tree_util.tree_map(pull, item["red"])
+            odt_h = pull(item["odt"]) if keep_layers else None
+            od_h = (jax.tree_util.tree_map(pull, item["odfull"])
+                    if netcdf and item["odfull"] is not None else None)
+        # O(W) boundary combine + Planck inversion on host: a single
+        # NumPy program, so RAD/Tb/TMR cannot pick up sharding-
+        # dependent fusion wobble (models/rt.py)
+        rad_h, tb_h, tmr_h = combine_boundary_np(
+            wn, parts_h.rup, parts_h.rdn, parts_h.trtot,
+            parts_h.radtmr, item["tsfc"], emis, refl, item["irt"],
+            dtype=npdt)
+        full_h = None
+        if od_h is not None:
+            full_h = ForwardResult(
+                rt=RTResult(rad=rad_h, tb=tb_h, rup=parts_h.rup,
+                            rdn=parts_h.rdn, trtot=parts_h.trtot,
+                            tmr=tmr_h),
+                od=od_h, emis=emis, refl=refl)
+        for bi, i in enumerate(item["chunk"]):
+            results[i] = ProfileOutput(
+                tb=tb_h[bi], tmr=tmr_h[bi], rad=rad_h[bi],
+                trtot=parts_h.trtot[bi], rup=parts_h.rup[bi],
+                rdn=parts_h.rdn[bi], emis=emis, refl=refl,
+                otot=red_h["otot"][bi],
+                by_mol=red_h["by_mol"][bi],
+                oc={k: v[bi] for k, v in red_h["oc"].items()},
+                odx=(red_h["odx"][bi] if "odx" in red_h else None),
+                od_layers=(odt_h[bi] if odt_h is not None else None),
+                full=(_slice_result(full_h, bi)
+                      if full_h is not None else None))
+
+    def rt_fn_call(odt, t, tz):
+        return jit_cache["rt"](odt, t, tz)
+
+    # ---- software pipeline over chunks: the prefetch thread prepares
+    # chunk N+1's host arrays while the device runs chunk N, and the
+    # synchronous pull of chunk N happens only after chunk N+1 has been
+    # dispatched (the device queue stays non-empty).  Multi-controller
+    # runs stay strictly serial: every process must enqueue the same
+    # device programs in the same order, and a prefetch thread could
+    # reorder collectives across processes.
+    overlap = nprocs == 1 and len(work) > 1
     with profile_trace(profile_dir):
-        for (nlay, irt, nmol, has_x), idxs in groups.items():
-            if nmol not in model_cache:
-                with timer.stage("model-build"):
-                    model_cache[nmol] = MonoRTM(
-                        wn, cfg.dvset, catalog, nmol=nmol,
-                        factors=cfg.factors,
-                        line_cfg=LineConfig(ibrd=cfg.ibrd),
-                        dtype=dtype, wn_tile=wn_tile,
-                        line_tile=line_tile,
-                        use_pallas=use_pallas, mesh=mesh)
-            model = model_cache[nmol]
-            if "rt" not in jit_cache:
-                jit_cache["rt"] = _rt_parts_fn()
-            rt_fn = jit_cache["rt"]
-            # runtime engine dispatch: in the all-Lorentz regime (zeta >
-            # 0.99 for every line/layer — the common microwave case,
-            # modm.f90:419-431) the lean XLA sweep beats the Pallas
-            # kernel's per-grid-step floor (BENCH_NOTES.md); the
-            # predicate makes the switch exact, and both runs of a
-            # mesh-vs-single comparison take the same branch
-            # (line-sharded meshes included: both engines contract the
-            # candidate columns over "line" with one psum)
-            can_lor = model.od_model.use_pallas and \
-                engine in ("auto", "hybrid")
-            if can_lor and ("pred", nmol) not in jit_cache:
-                # margin=1e-3 biases the predicate conservatively: the
-                # check runs on the local CPU backend while the engines
-                # run on TPU, and cross-backend f32 pow/exp differ by up
-                # to ~1e-4 relative (BENCH_NOTES accuracy budget); a
-                # boundary lane then keeps the full kernel, which is
-                # correct in both branches
-                jit_cache[("pred", nmol)] = jax.jit(
-                    lambda s, m=model: m.od_model.all_lorentz(
-                        s, per_layer=True, margin=1e-3))
-
-            bmax = _max_batch(len(wn), nlay, nmol, n_prof_shards)
-            for c0 in range(0, len(idxs), bmax):
-                chunk = idxs[c0:c0 + bmax]
-                prs = [prepped[i] for i in chunk]
-                # pad the batch to a full set of "prof" shards (padding
-                # repeats the last profile; its outputs are dropped)
-                npad = (-len(prs)) % n_prof_shards
-                prs = prs + [prs[-1]] * npad
-                timer_h2d = timer.stage("host->device")
-                timer_h2d.__enter__()
-                nstack = lambda f: np.stack([f(p) for p in prs]).astype(npdt)
-                t_np = nstack(lambda p: p["st"].t)
-                tz_np = nstack(lambda p: p["st"].tz)
-                tsfc_np = nstack(lambda p: np.asarray([p["tbound"]]))
-                clw_np = nstack(lambda p: p["st"].clw)
-                p_np = nstack(lambda p: p["st"].p)
-                wkl_np = nstack(lambda p: p["wkl"])
-                wb_np = nstack(lambda p: p["st"].wbrodl)
-                # cloud OD in its own jit (see od_clw_in in models/od.py)
-                with timer.stage("cloud-od"):
-                    oclw = clw_fn(t_np, clw_np)
-                if mesh is not None:
-                    oclw = put_prof(oclw)
-                state_d = LayerState(
-                    p=put_prof(p_np), t=put_prof(t_np),
-                    tz=put_prof(tz_np), wkl=put_prof(wkl_np),
-                    wbrodl=put_prof(wb_np), clw=put_prof(clw_np))
-                ox = None
-                if has_x:
-                    ox = put_prof(nstack(lambda p: p["od_xsec"]))
-                timer_h2d.__exit__(None, None, None)
-
-                lay_ok = None
-                if can_lor:
-                    # per-layer zeta predicate -> engine choice: all
-                    # layers Lorentz -> lean XLA sweep; some -> hybrid
-                    # layer split; none -> Pallas kernel.  Evaluated on
-                    # the LOCAL CPU backend where one exists: the check
-                    # is O(L x N) elementwise, and a remote first
-                    # compile costs 20-100 s (see clw_fn above); a
-                    # CPU-vs-TPU ulp flip at the zeta = 0.99 boundary
-                    # changes a lane's branch by at most the same shape
-                    # discontinuity the reference accepts at its switch
-                    # (modm.f90:427)
-                    with timer.stage("engine-predicate"):
-                        st_h = LayerState(p=p_np, t=t_np, tz=tz_np,
-                                          wkl=wkl_np, wbrodl=wb_np,
-                                          clw=clw_np)
-                        if _cpu0 is not None:
-                            with jax.default_device(_cpu0):
-                                rows = np.asarray(
-                                    jit_cache[("pred", nmol)](st_h))
-                        else:
-                            rows = pull(jit_cache[("pred", nmol)](
-                                state_d))
-                    lay_ok = np.asarray(rows).all(axis=0)
-
-                # bound per-call device work by splitting the
-                # (independent) layer axis: the reference envelope
-                # (200 layers x 80k wn x 250k lines) is ~2 min in one
-                # program, past the backend's execution limit; layer
-                # chunks keep each call ~25 s worst-case and partial
-                # sums combine in fixed chunk order (deterministic)
-                per_layer = len(wn) * max(model.od_model.catalog.n_lines,
-                                          1)
-                lay_cap = max(1, int(_MAX_OD_EVALS_PER_CALL // per_layer))
-                lay_splits = list(range(0, nlay, lay_cap)) + [nlay]
-
-                def od_call(l0, l1):
-                    eng, lor_lay = None, ()
-                    if lay_ok is not None:
-                        sub = lay_ok[l0:l1]
-                        if sub.all():
-                            eng = "lorentz-xla"
-                        elif sub.any():
-                            eng = "hybrid"
-                            lor_lay = tuple(np.nonzero(sub)[0].tolist())
-                    key = (nmol, eng, lor_lay, l1 - l0 if lay_cap < nlay
-                           else None)
-                    if key not in jit_cache:
-                        jit_cache[key] = _od_fn(model, keep_full=netcdf,
-                                                engine=eng,
-                                                lor_layers=lor_lay)
-                    if l0 == 0 and l1 == nlay:
-                        return jit_cache[key](state_d, ox, oclw)
-                    sl = lambda x, ax: (None if x is None else
-                                        jax.lax.slice_in_dim(x, l0, l1,
-                                                             axis=ax))
-                    st_c = LayerState(
-                        p=sl(state_d.p, -1), t=sl(state_d.t, -1),
-                        tz=jax.lax.slice_in_dim(state_d.tz, l0, l1 + 1,
-                                                axis=-1),
-                        wkl=sl(state_d.wkl, -2),
-                        wbrodl=sl(state_d.wbrodl, -1),
-                        clw=sl(state_d.clw, -1))
-                    return jit_cache[key](st_c, sl(ox, -2), sl(oclw, -2))
-
-                with timer.stage("device-forward"):
-                    if len(lay_splits) <= 2:
-                        odt, red, odfull = od_call(0, nlay)
-                    else:
-                        chunks = [od_call(l0, l1) for l0, l1 in
-                                  zip(lay_splits[:-1], lay_splits[1:])
-                                  if l1 > l0]
-                        odt = jnp.concatenate([c[0] for c in chunks],
-                                              axis=-1)
-                        red = chunks[0][1]
-                        for c in chunks[1:]:
-                            red = jax.tree_util.tree_map(
-                                jnp.add, red, c[1])
-                        odfull = None
-                        if netcdf and chunks[0][2] is not None:
-                            from monortm_tpu.models.od import ODResult
-                            cat3 = lambda f, ax: jnp.concatenate(
-                                [f(c[2]) for c in chunks], axis=ax)
-                            odfull = ODResult(
-                                od_total=cat3(lambda o: o.od_total, -1),
-                                od_by_mol=cat3(lambda o: o.od_by_mol, -1),
-                                oc={k: cat3(lambda o, k=k: o.oc[k], -2)
-                                    for k in chunks[0][2].oc},
-                                od_clw=cat3(lambda o: o.od_clw, -2),
-                                od_xsec=(cat3(lambda o: o.od_xsec, -2)
-                                         if chunks[0][2].od_xsec
-                                         is not None else None))
-                    parts = rt_fn(odt, state_d.t, state_d.tz)
-                    jax.block_until_ready(parts.rup)
-                with timer.stage("device->host"):
-                    parts_h = jax.tree_util.tree_map(pull, parts)
-                    red_h = jax.tree_util.tree_map(pull, red)
-                    odt_h = pull(odt) if keep_layers else None
-                    od_h = (jax.tree_util.tree_map(pull, odfull)
-                            if netcdf and odfull is not None else None)
-                # O(W) boundary combine + Planck inversion on host: a
-                # single NumPy program, so RAD/Tb/TMR cannot pick up
-                # sharding-dependent fusion wobble (models/rt.py)
-                rad_h, tb_h, tmr_h = combine_boundary_np(
-                    wn, parts_h.rup, parts_h.rdn, parts_h.trtot,
-                    parts_h.radtmr, tsfc_np, emis, refl, irt, dtype=npdt)
-                full_h = None
-                if od_h is not None:
-                    full_h = ForwardResult(
-                        rt=RTResult(rad=rad_h, tb=tb_h, rup=parts_h.rup,
-                                    rdn=parts_h.rdn, trtot=parts_h.trtot,
-                                    tmr=tmr_h),
-                        od=od_h, emis=emis, refl=refl)
-                for bi, i in enumerate(chunk):
-                    results[i] = ProfileOutput(
-                        tb=tb_h[bi], tmr=tmr_h[bi], rad=rad_h[bi],
-                        trtot=parts_h.trtot[bi], rup=parts_h.rup[bi],
-                        rdn=parts_h.rdn[bi], emis=emis, refl=refl,
-                        otot=red_h["otot"][bi],
-                        by_mol=red_h["by_mol"][bi],
-                        oc={k: v[bi] for k, v in red_h["oc"].items()},
-                        odx=(red_h["odx"][bi] if "odx" in red_h else None),
-                        od_layers=(odt_h[bi] if odt_h is not None
-                                   else None),
-                        full=(_slice_result(full_h, bi)
-                              if full_h is not None else None))
+        if not overlap:
+            for item in work:
+                finalize(dispatch(host_prep(item)))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(1) as ex:
+                nxt = ex.submit(host_prep, work[0])
+                pending = None
+                for i in range(len(work)):
+                    item = nxt.result()
+                    if i + 1 < len(work):
+                        nxt = ex.submit(host_prep, work[i + 1])
+                    dev = dispatch(item)
+                    if pending is not None:
+                        finalize(pending)
+                    pending = dev
+                finalize(pending)
 
     # ---- write outputs in input order --------------------------------
     with writer:

@@ -16,6 +16,7 @@ from pathlib import Path
 
 pid, nproc, port, rundir = (int(sys.argv[1]), int(sys.argv[2]),
                             int(sys.argv[3]), Path(sys.argv[4]))
+mesh_arg = sys.argv[5] if len(sys.argv) > 5 else "2x4"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -32,7 +33,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from monortm_tpu.cli import main
 
-rc = main(["--distributed", "--mesh", "2x4",
+rc = main(["--distributed", "--mesh", mesh_arg,
            "--in", str(rundir / "MONORTM.IN"),
            "--prof", str(rundir / "MONORTM_PROF.IN"),
            "--tape3", str(rundir / "TAPE3"),

@@ -27,7 +27,16 @@ REF_IN = Path("/root/reference/run/in")
 
 CASES = {
     1: ("MONORTM.IN_MDL_ATM_dn", None),
+    # upwelling (IRT=1): surface emission/reflection combine
+    # (RTMmono.f90:138-139) on hardware
+    2: ("MONORTM.IN_MDL_ATM_up", None),
+    # many stacked radiosonde profiles: the batching/grouping path
+    3: ("MONORTM.IN_NOSCALE_IATM1_dn", None),
     4: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_sav"),
+    # liquid cloud (CLW): the TKC cloud OD (CloudOptProp.f90:29)
+    5: ("MONORTM.IN_IATM0_dn", "MONORTM_PROF.IN_liquid_cloud"),
+    # H2O profile scaling (profil_scal_sub, monortm_sub.F90:937)
+    6: ("MONORTM.IN_SCALE_IATM1_MODEL0_HMOL1_dn", None),
     # slant IR lidar (6365 cm^-1): exercises the two-float wn splits,
     # refraction layering and the SD-Voigt regime on hardware
     7: ("MONORTM.IN_IATM1_lidar_up", None),
