@@ -491,6 +491,35 @@ def profiles_from_tape5(filein, cfg, workers: int | None = None
         return list(ex.map(_atmpth_block, args, chunksize=chunk))
 
 
+def profiles_from_tape5_iter(filein, cfg, workers: int | None = None):
+    """Streaming variant of profiles_from_tape5: yields profiles in
+    input order as the worker pool completes them, so the pipeline can
+    start device work on early profiles while later ones are still
+    being layered (the producer/consumer overlap in pipeline.run)."""
+    import os
+    from pathlib import Path
+    from monortm_tpu.io.tape5 import Tape5Reader
+    rd = Tape5Reader(filein)
+    blocks = []
+    while not rd.at_end():
+        blocks.append(rd.read_block())
+    fdir = Path(filein).parent
+    args = [(blk.rest, blk.v1, blk.v2, blk.ixsect, fdir) for blk in blocks]
+
+    if workers is None:
+        ncpu = len(os.sched_getaffinity(0)) \
+            if hasattr(os, "sched_getaffinity") else (os.cpu_count() or 1)
+        workers = 1 if len(blocks) < 64 else min(ncpu, 16)
+    if workers <= 1 or len(blocks) < 2 * workers:
+        for a in args:
+            yield _atmpth_block(a)
+        return
+    from concurrent.futures import ProcessPoolExecutor
+    chunk = max(1, min(16, len(args) // (4 * workers)))
+    with ProcessPoolExecutor(workers) as ex:
+        yield from ex.map(_atmpth_block, args, chunksize=chunk)
+
+
 def xamnts(rd: AtmRecordReader, prof: lay.ModelProfile,
            engine: "lay.PathEngine", geo: dict, zbnd, nmol: int,
            xv1: float, xv2: float, fscdxs_dir):

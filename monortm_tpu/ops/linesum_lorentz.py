@@ -176,7 +176,14 @@ def line_od_lorentz_xla(tiled_cat: dict, wn_hi: np.ndarray,
         acc0 = jnp.zeros((l_loc, wt, n_mol), dtype)
         if vma:
             acc0 = jax.lax.pcast(acc0, vma, to="varying")
-        acc, _ = jax.lax.scan(body, acc0, (cm_row, cv_row))
+        # jax.checkpoint: without it, jax.grad through the scan stores
+        # every candidate tile's [L, wt, nt] intermediates as residuals
+        # — 45 GB at the bench workload (measured HBM OOM).  Remat
+        # recomputes the 3-term-rational block in the backward sweep
+        # instead: residuals shrink to the scan inputs and the adjoint
+        # costs ~2x the forward's FLOPs, which the VPU has to spare.
+        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0,
+                              (cm_row, cv_row))
         return acc
 
     if mesh is not None and mesh.devices.size > 1:

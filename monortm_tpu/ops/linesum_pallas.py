@@ -332,12 +332,12 @@ def _bwd_kernel(rmap_ref, rvalid_ref,
         xf1 = fxf1_ref[0, :][None, :] > 0.5
         xf15 = fxf15_ref[0, :][None, :] > 0.5
         valid = fval_ref[0, :][None, :] > 0.5
-        wn_hi = wn_hi_ref[0, :][:, None]
-        wn_lo = wn_lo_ref[0, :][:, None]
+        wn_hi = wn_hi_ref[0, 0, :][:, None]
+        wn_lo = wn_lo_ref[0, 0, :][:, None]
 
         for q in range(lt):
-            g_blk = g_ref[0, q, :, :]                      # [wt, M]
-            gbar = jax.lax.dot_general(                    # [wt, nt]
+            g_blk = g_ref[0, q, :, :]                      # [wc, M]
+            gbar = jax.lax.dot_general(                    # [wc, nt]
                 g_blk, onehot_ref[...],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -608,29 +608,52 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
         g4 = g.reshape(lp // lt, lt, wp, n_mol)
         k_tiles = n // nt
         rmap, rvalid = _reverse_map(cand_map, cand_valid, k_tiles)
-        if rmap.shape[0] * rmap.shape[1] * 8 > _SMEM_MAP_BUDGET:
-            segs = _budget_segments(rvalid.sum(axis=1),
+        # the vjp-traced block holds O(hundreds) of [W, Nt] f32
+        # intermediates live between the recomputed forward and its
+        # transpose; at W = wt = 128 that overflows the ~16 MB scoped
+        # VMEM (measured: 72 MB at the bench shapes), and an in-kernel
+        # unrolled sub-slice loop does NOT get its stack reused across
+        # iterations (measured: still 40 MB).  So the wavenumber
+        # sub-slice is a GRID dimension instead: each reverse slot
+        # expands into wsub_b steps over wt/wsub_b-sublane slices, and
+        # each step's vjp body only ever materializes one slice.  The
+        # d_* accumulations over W are associative sums, so only their
+        # rounding order changes.
+        wsub_b = 1 if interpret else max(1, wt // 16)
+        wc = wt // wsub_b
+        rmap2 = (np.repeat(rmap, wsub_b, axis=1) * wsub_b
+                 + np.tile(np.arange(wsub_b, dtype=np.int32),
+                           rmap.shape[1]))
+        rvalid2 = np.repeat(rvalid, wsub_b, axis=1)
+        if rmap2.shape[0] * rmap2.shape[1] * 8 > _SMEM_MAP_BUDGET:
+            segs = _budget_segments(rvalid2.sum(axis=1),
                                     _SMEM_MAP_BUDGET // 8)
         else:
-            segs = [(0, k_tiles, rmap.shape[1])]
+            segs = [(0, k_tiles, rmap2.shape[1])]
 
-        rev_wn = lambda l, k, s, rm, rv: (0, rm[k, s])
+        # wn operands reshaped to [wp/wc, 8, wc] (a broadcast sublane
+        # dim of 8) so the (1, 8, wc) block satisfies the Pallas
+        # last-two-dims rule at the 16-lane sub-slice width
+        rev_wn = lambda l, k, s, rm, rv: (rm[k, s], 0, 0)
         k_l = lambda l, k, s, rm, rv: (0, k)
         k_ln = lambda l, k, s, rm, rv: (l, 0, k)
         bwd_specs = (
-            [pl.BlockSpec((1, wt), rev_wn), pl.BlockSpec((1, wt), rev_wn)]
+            [pl.BlockSpec((1, 8, wc), rev_wn),
+             pl.BlockSpec((1, 8, wc), rev_wn)]
             + [pl.BlockSpec((1, nt), k_l)] * len(PER_L)
             + [pl.BlockSpec((1, lt, nt), k_ln)] * len(PER_LN)
             + [pl.BlockSpec((1, nt), k_l)] * len(FLAGS)
             + [pl.BlockSpec((nt, n_mol), lambda l, k, s, rm, rv: (k, 0)),
-               pl.BlockSpec((1, lt, wt, n_mol),
+               pl.BlockSpec((1, lt, wc, n_mol),
                             lambda l, k, s, rm, rv: (l, 0, rm[k, s], 0))])
         out_spec = pl.BlockSpec((1, lt, nt), k_ln)
 
         parts = []
         for s0, s1, nc in segs:
             sl = slice(s0 * nt, s1 * nt)
-            a_s = (wn_args
+            a_s = ([jnp.broadcast_to(v.reshape(-1, 1, wc),
+                                     (wp // wc, 8, wc))
+                    for v in wn_args]
                    + [v[:, sl] for v in per_l_args]
                    + [v[:, :, sl] for v in ln_args]
                    + [v[:, sl] for v in flag_args]
@@ -642,7 +665,8 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                 in_specs=bwd_specs,
                 out_specs=(out_spec,) * len(PER_LN))
             parts.append(pl.pallas_call(
-                functools.partial(_bwd_kernel, lt=lt, chi_fn=cfg.chi_fn),
+                functools.partial(_bwd_kernel, lt=lt,
+                                  chi_fn=cfg.chi_fn),
                 grid_spec=grid_spec,
                 out_shape=tuple(jax.ShapeDtypeStruct(
                     (lp // lt, lt, k_loc * nt), jnp.float32)
@@ -651,8 +675,8 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                     dimension_semantics=("parallel", "parallel",
                                          "arbitrary")),
                 interpret=interpret,
-            )(jnp.asarray(rmap[s0:s1, :nc]),
-              jnp.asarray(rvalid[s0:s1, :nc]), *a_s))
+            )(jnp.asarray(rmap2[s0:s1, :nc]),
+              jnp.asarray(rvalid2[s0:s1, :nc]), *a_s))
         if len(parts) == 1:
             outs = parts[0]
         else:

@@ -122,8 +122,10 @@ def _log_layer_table(log, p, t, wkl, wbrodl, nmol, title=None):
                   + "".join(f"{n:>10s}" + " " * 5 for n in names) + "\n")
 
     def row980(lbl, pv, tv, vals):
-        log.write(f"0{lbl:3d}{pv:15.7f}{tv:9.2f}  "
-                  + "".join(f"{v:15.7E}" for v in vals) + "\n")
+        # C-level %-formatting: this table is the host-prep hot spot at
+        # many-profile scale (~5 ms/profile with f-string joins)
+        log.write("0%3d%15.7f%9.2f  " % (lbl, pv, tv)
+                  + ("%15.7E" * len(vals)) % tuple(vals) + "\n")
 
     # molecular amounts, 8 columns per block (974/980/985): block 1 is
     # mols 1-7 + OTHER, later blocks mols 8-15, 16-23, ... (MLO=8,8)
@@ -319,14 +321,24 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     refl = emis_io.boundary_spectrum(
         wn, cfg.bndrfl, ed / "REFLECTION" if cfg.bndrfl[0] < 0 else None)
 
-    # profiles
-    with timer.stage("profiles+layering"):
-        if iatm == 0:
+    nprocs = jax.process_count()
+    # profiles: IATM=0 parses the layer file (fast); IATM=1 runs the
+    # LBLATM-equivalent layering.  Single-process IATM=1 runs STREAM
+    # the layering through a worker pool so the device starts on early
+    # profiles while later ones are still being layered (the
+    # producer/consumer loop below); multi-controller and IXSECT runs
+    # keep the blocking list (deterministic enqueue order across
+    # processes / the thread-pooled xsec pre-pass needs the full list).
+    stream = iatm == 1 and nprocs == 1 and cfg.ixsect == 0
+    profiles = None
+    if iatm == 0:
+        with timer.stage("profiles+layering"):
             profiles = read_profiles(fileprof, ixsect=ixsect)
-        else:
-            from monortm_tpu.atmos.tape5_atm import profiles_from_tape5
+    elif not stream:
+        from monortm_tpu.atmos.tape5_atm import profiles_from_tape5
+        with timer.stage("profiles+layering"):
             profiles = profiles_from_tape5(filein, cfg, workers=workers)
-    if len(profiles) != nprof:
+    if profiles is not None and len(profiles) != nprof:
         # '$'-recycling runs can differ; trust the parsed list
         nprof = len(profiles)
 
@@ -341,16 +353,13 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     # shards, results are all-gathered, and only process 0 writes files
     # (the reference's serial profile loop, monortm.f90:357, spread over
     # the DCN axis)
-    nprocs = jax.process_count()
     is_main = jax.process_index() == 0
 
     # TAPE7 (IPUNCH=1 on record 3.1, lblatm.f90:1264-1340): the layering
     # output in MONORTM_PROF.IN-compatible form — the reference's
-    # checkpoint artifact for IATM=0 re-runs
-    punched = [p for p in profiles if getattr(p, "ipunch", 0) == 1]
-    if punched and is_main:
-        from monortm_tpu.io.tape7 import write_tape7
-        write_tape7(Path(outdir) / "TAPE7", punched, xid=cfg.xid)
+    # checkpoint artifact for IATM=0 re-runs.  Collected by the producer
+    # (streamed profiles arrive incrementally), written after the loop.
+    punched: list = []
 
     model_cache: dict[int, MonoRTM] = {}
     out = RunResult(wn=wn, tb=[], rad=[], results=[])
@@ -400,9 +409,10 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     # numpy convolutions release the GIL (monortm.f90:492-532 runs this
     # serially per profile)
     xsec_results: dict[int, Any] = {}
-    xs_profiles = [i for i, prof in enumerate(profiles)
-                   if cfg.ixsect >= 1
-                   and getattr(prof, "xamnt", None) is not None]
+    xs_profiles = [] if profiles is None else \
+        [i for i, prof in enumerate(profiles)
+         if cfg.ixsect >= 1
+         and getattr(prof, "xamnt", None) is not None]
     if xs_profiles:
         from concurrent.futures import ThreadPoolExecutor
         from monortm_tpu.io.fscdxs import read_fscdxs, read_xs_file
@@ -436,64 +446,58 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 with ThreadPoolExecutor(nthreads) as ex:
                     xsec_results.update(ex.map(_prep_xsec, rest))
 
-    prepped = []
-    with timer.stage("host-prep"):
-        for npr0, prof in enumerate(profiles, start=1):
-            st, meta = prof.state, prof.meta
-            wkl = st.wkl
-            log.write(f"1 PROFILE {npr0}\n")
-            if getattr(prof, "path", None):
-                # LBLATM path summary (lblatm.f90:1243-1244, format 968)
-                pa = prof.path
-                log.write(
-                    f" PATH: MODEL={prof.hmod or '(user)':24s} "
-                    f"H1={meta.h1:10.3f} H2={meta.h2:10.3f} "
-                    f"ANGLE={meta.angle:10.3f} RANGE={pa['range']:10.3f} "
-                    f"BETA={pa['beta']:10.3f} PHI={pa['phi']:10.3f} "
-                    f"HMIN={pa['hmin']:10.3f} BENDING={pa['bendng']:10.5f} "
-                    f"LEN={pa['len']:d} "
-                    f"AIRTOT={pa['airtot']:11.4E}\n")
-            _log_layer_table(log, st.p, st.t, wkl, st.wbrodl, meta.nmol,
-                             "MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER")
-            if cfg.nmol_scal > 0:
-                wkl = profil_scal(wkl, st.wbrodl, meta.nmol,
-                                  cfg.hmol_scal, cfg.xmol_scal,
-                                  cfg.nmol_scal)
-                log.write(" PROFILE SCALING (profil_scal_sub): HMOL_SCAL="
-                          f"{cfg.hmol_scal[:cfg.nmol_scal]!r} XMOL_SCAL="
-                          + " ".join(f"{x:.5E}" for x in
-                                     cfg.xmol_scal[:cfg.nmol_scal]) + "\n")
-                _log_layer_table(
-                    log, st.p, st.t, wkl, st.wbrodl, meta.nmol,
-                    "MODIFIED MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER")
-            pwv, clw_col = integr(wkl, st.clw)
+    prepped: list = []
 
-            # cross-section molecules (IATM=0 layer amounts;
-            # monortm.f90:492-532 + MONORTM_XSEC_SUB), prepared above
-            od_xsec = xsec_results.get(npr0 - 1)
+    def prep_profile(npr0, prof):
+        """Per-profile host prep (LOG tables, scaling, columns, xsec
+        OD) — the reference's per-profile preamble
+        (monortm.f90:369-551).  Called by the producer in input order."""
+        st, meta = prof.state, prof.meta
+        wkl = st.wkl
+        log.write(f"1 PROFILE {npr0}\n")
+        if getattr(prof, "path", None):
+            # LBLATM path summary (lblatm.f90:1243-1244, format 968)
+            pa = prof.path
+            log.write(
+                f" PATH: MODEL={prof.hmod or '(user)':24s} "
+                f"H1={meta.h1:10.3f} H2={meta.h2:10.3f} "
+                f"ANGLE={meta.angle:10.3f} RANGE={pa['range']:10.3f} "
+                f"BETA={pa['beta']:10.3f} PHI={pa['phi']:10.3f} "
+                f"HMIN={pa['hmin']:10.3f} BENDING={pa['bendng']:10.5f} "
+                f"LEN={pa['len']:d} "
+                f"AIRTOT={pa['airtot']:11.4E}\n")
+        _log_layer_table(log, st.p, st.t, wkl, st.wbrodl, meta.nmol,
+                         "MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER")
+        if cfg.nmol_scal > 0:
+            wkl = profil_scal(wkl, st.wbrodl, meta.nmol,
+                              cfg.hmol_scal, cfg.xmol_scal,
+                              cfg.nmol_scal)
+            log.write(" PROFILE SCALING (profil_scal_sub): HMOL_SCAL="
+                      f"{cfg.hmol_scal[:cfg.nmol_scal]!r} XMOL_SCAL="
+                      + " ".join(f"{x:.5E}" for x in
+                                 cfg.xmol_scal[:cfg.nmol_scal]) + "\n")
+            _log_layer_table(
+                log, st.p, st.t, wkl, st.wbrodl, meta.nmol,
+                "MODIFIED MOLECULAR AMOUNTS (MOL/CM**2) BY LAYER")
+        pwv, clw_col = integr(wkl, st.clw)
 
-            # optional TES cloud OD file (see io/cldod.py)
-            if cld_file.exists():
-                from monortm_tpu.io.cldod import cloud_od_on_grid
-                extra = cloud_od_on_grid(cld_file, wn, st.t.shape[-1])
-                od_xsec = extra if od_xsec is None else od_xsec + extra
+        # cross-section molecules (IATM=0 layer amounts;
+        # monortm.f90:492-532 + MONORTM_XSEC_SUB), prepared above
+        od_xsec = xsec_results.get(npr0 - 1)
 
-            irt = irt_from_angle(meta.angle)
-            tbound = cfg.tbound
-            if tbound < 0.0:       # FPACK: use TZ(0) (lblatm.f90:5952)
-                tbound = float(np.asarray(st.tz)[0])
-            prepped.append(dict(st=st, meta=meta, wkl=wkl, pwv=pwv,
-                                clw_col=clw_col, od_xsec=od_xsec,
-                                irt=irt, tbound=tbound))
+        # optional TES cloud OD file (see io/cldod.py)
+        if cld_file.exists():
+            from monortm_tpu.io.cldod import cloud_od_on_grid
+            extra = cloud_od_on_grid(cld_file, wn, st.t.shape[-1])
+            od_xsec = extra if od_xsec is None else od_xsec + extra
 
-    # ---- group same-shape profiles into batched device calls --------
-    # (one [B, nlay] forward per group chunk; the reference runs profile
-    # by profile, monortm.f90:357 — batching is the TPU-native win)
-    groups: dict[tuple, list[int]] = {}
-    for idx, pr in enumerate(prepped):
-        key = (pr["st"].t.shape[-1], pr["irt"], pr["meta"].nmol,
-               pr["od_xsec"] is not None)
-        groups.setdefault(key, []).append(idx)
+        irt = irt_from_angle(meta.angle)
+        tbound = cfg.tbound
+        if tbound < 0.0:       # FPACK: use TZ(0) (lblatm.f90:5952)
+            tbound = float(np.asarray(st.tz)[0])
+        return dict(st=st, meta=meta, wkl=wkl, pwv=pwv,
+                    clw_col=clw_col, od_xsec=od_xsec,
+                    irt=irt, tbound=tbound)
 
     # dtype conversions happen in host numpy: converting inside
     # jnp.asarray dispatches an eager convert_element_type on the device
@@ -501,7 +505,7 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     npdt = np.dtype(jnp.dtype(dtype).name)
     wn_dev = jnp.asarray(np.asarray(wn, npdt))
     jit_cache: dict[tuple, Any] = {}
-    results: list = [None] * len(prepped)
+    results: dict[int, Any] = {}
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -663,10 +667,17 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         host_bytes[0] += a.nbytes
         return a
 
-    # ---- flatten (group, chunk) work items so the pipeline below can
-    # overlap across group boundaries too ------------------------------
-    work: list[dict] = []
-    for (nlay, irt, nmol, has_x), idxs in groups.items():
+    def ensure_model(nmol):
+        """Build (once) the model + RT jit + dispatch predicate for an
+        nmol group; returns whether runtime engine dispatch applies.
+
+        Runtime engine dispatch: in the all-Lorentz regime (zeta > 0.99
+        for every line/layer — the common microwave case,
+        modm.f90:419-431) the lean XLA sweep beats the Pallas kernel's
+        per-grid-step floor (BENCH_NOTES.md); the predicate makes the
+        switch exact, and both runs of a mesh-vs-single comparison take
+        the same branch (line-sharded meshes included: both engines
+        contract the candidate columns over "line" with one psum)."""
         if nmol not in model_cache:
             with timer.stage("model-build"):
                 model_cache[nmol] = MonoRTM(
@@ -677,14 +688,8 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                     line_tile=line_tile,
                     use_pallas=use_pallas, mesh=mesh)
         model = model_cache[nmol]
-        # runtime engine dispatch: in the all-Lorentz regime (zeta >
-        # 0.99 for every line/layer — the common microwave case,
-        # modm.f90:419-431) the lean XLA sweep beats the Pallas
-        # kernel's per-grid-step floor (BENCH_NOTES.md); the
-        # predicate makes the switch exact, and both runs of a
-        # mesh-vs-single comparison take the same branch
-        # (line-sharded meshes included: both engines contract the
-        # candidate columns over "line" with one psum)
+        if "rt" not in jit_cache:
+            jit_cache["rt"] = _rt_parts_fn()
         can_lor = model.od_model.use_pallas and \
             engine in ("auto", "hybrid")
         if can_lor and ("pred", nmol) not in jit_cache:
@@ -697,12 +702,63 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             jit_cache[("pred", nmol)] = jax.jit(
                 lambda s, m=model: m.od_model.all_lorentz(
                     s, per_layer=True, margin=1e-3))
-        bmax = _max_batch(len(wn), nlay, nmol, n_prof_shards)
-        for c0 in range(0, len(idxs), bmax):
-            work.append(dict(nlay=nlay, irt=irt, nmol=nmol, has_x=has_x,
-                             can_lor=can_lor, chunk=idxs[c0:c0 + bmax]))
-    if work and "rt" not in jit_cache:
-        jit_cache["rt"] = _rt_parts_fn()
+        return can_lor
+
+    def produce():
+        """The producer: profiles (possibly streaming out of the
+        layering worker pool) -> per-profile prep -> same-shape chunk
+        buffers (one [B, nlay] forward per chunk; the reference runs
+        profile by profile, monortm.f90:357 — batching is the
+        TPU-native win) -> fully host-prepped work items, yielded in
+        deterministic order."""
+        buffers: dict[tuple, list[int]] = {}
+        bmax_of: dict[tuple, int] = {}
+
+        def emit(key):
+            nlay, irt_, nmol, has_x = key
+            can_lor = ensure_model(nmol)
+            return host_prep(dict(nlay=nlay, irt=irt_, nmol=nmol,
+                                  has_x=has_x, can_lor=can_lor,
+                                  chunk=buffers.pop(key)))
+
+        if profiles is not None:
+            src = iter(profiles)
+        else:
+            from monortm_tpu.atmos.tape5_atm import \
+                profiles_from_tape5_iter
+            src = profiles_from_tape5_iter(filein, cfg, workers=workers)
+        npr0 = 0
+        while True:
+            if profiles is None:
+                with timer.stage("profiles+layering"):
+                    prof = next(src, None)
+            else:
+                prof = next(src, None)
+            if prof is None:
+                break
+            npr0 += 1
+            with timer.stage("host-prep"):
+                pr = prep_profile(npr0, prof)
+            prepped.append(pr)
+            if getattr(prof, "ipunch", 0) == 1:
+                punched.append(prof)
+            key = (pr["st"].t.shape[-1], pr["irt"], pr["meta"].nmol,
+                   pr["od_xsec"] is not None)
+            buffers.setdefault(key, []).append(len(prepped) - 1)
+            if key not in bmax_of:
+                # NOTE: memory-sized chunks (not latency-sized): on the
+                # tunneled dev backend every host->device call costs an
+                # HTTP round trip (~1.3 s measured), so splitting a
+                # fitting batch into small chunks LOSES even though the
+                # consumer overlaps them; on direct-attached hardware
+                # smaller chunks would pipeline profitably
+                # (tools/bench_e2e.py --chunk-size exists to measure)
+                bmax_of[key] = _max_batch(len(wn), key[0], key[2],
+                                          n_prof_shards)
+            if len(buffers[key]) >= bmax_of[key]:
+                yield emit(key)
+        for key in list(buffers):         # flush partial buffers
+            yield emit(key)
 
     def host_prep(item):
         """Stage A: stack the chunk's host arrays, cloud OD and the
@@ -877,32 +933,52 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
     def rt_fn_call(odt, t, tz):
         return jit_cache["rt"](odt, t, tz)
 
-    # ---- software pipeline over chunks: the prefetch thread prepares
-    # chunk N+1's host arrays while the device runs chunk N, and the
+    # ---- software pipeline over chunks: the producer thread layers +
+    # preps chunk N+1 while the device executes chunk N, and the
     # synchronous pull of chunk N happens only after chunk N+1 has been
     # dispatched (the device queue stays non-empty).  Multi-controller
     # runs stay strictly serial: every process must enqueue the same
-    # device programs in the same order, and a prefetch thread could
+    # device programs in the same order, and a producer thread could
     # reorder collectives across processes.
-    overlap = nprocs == 1 and len(work) > 1
     with profile_trace(profile_dir):
-        if not overlap:
-            for item in work:
-                finalize(dispatch(host_prep(item)))
+        if nprocs > 1:
+            for item in produce():
+                finalize(dispatch(item))
         else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(1) as ex:
-                nxt = ex.submit(host_prep, work[0])
-                pending = None
-                for i in range(len(work)):
-                    item = nxt.result()
-                    if i + 1 < len(work):
-                        nxt = ex.submit(host_prep, work[i + 1])
-                    dev = dispatch(item)
-                    if pending is not None:
-                        finalize(pending)
-                    pending = dev
+            import queue as _queue
+            import threading
+            q: Any = _queue.Queue(maxsize=2)
+
+            def feeder():
+                try:
+                    for it in produce():
+                        q.put(it)
+                    q.put(("done", None))
+                except BaseException as e:    # re-raised in the consumer
+                    q.put(("err", e))
+
+            th = threading.Thread(target=feeder, daemon=True)
+            th.start()
+            pending = None
+            while True:
+                nxt = q.get()
+                if isinstance(nxt, tuple):
+                    if nxt[0] == "err":
+                        raise nxt[1]
+                    break
+                dev = dispatch(nxt)
+                if pending is not None:
+                    finalize(pending)
+                pending = dev
+            if pending is not None:
                 finalize(pending)
+            th.join()
+
+    nprof = len(prepped)
+    results = [results[i] for i in range(len(prepped))]
+    if punched and is_main:
+        from monortm_tpu.io.tape7 import write_tape7
+        write_tape7(Path(outdir) / "TAPE7", punched, xid=cfg.xid)
 
     # ---- write outputs in input order --------------------------------
     with writer:

@@ -39,3 +39,13 @@ else:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 jax.config.update("jax_enable_x64", _platform == "cpu")
+
+
+def pytest_xdist_auto_num_workers(config):
+    """-n auto resolution: 2 workers on CPU (suite wall time is compile-
+    bound; 2 workers take the 2-vCPU box from ~15 to ~7 minutes), but
+    strictly ONE in-process session on hardware — the TPU grant is
+    single-tenant and two workers would race on the chip."""
+    if _platform != "cpu":
+        return 0
+    return 2

@@ -27,6 +27,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--out", type=Path, default=Path("/tmp/bench_e2e"))
+    ap.add_argument("--workers", type=int, default=None,
+                    help="host layering process fan-out (default: cpus)")
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="force the profile-batch chunk size (exercises "
+                         "the pipelined chunk loop: prefetch thread + "
+                         "deferred pulls)")
     args = ap.parse_args()
 
     import jax
@@ -41,9 +47,15 @@ def main():
     (args.out / "MONORTM.IN").write_text(block * args.n + "%")
     tape3 = ROOT / "tests" / "goldens" / "TAPE3_synthetic"
 
+    import os
+    workers = args.workers if args.workers is not None else os.cpu_count()
+    if args.chunk_size:
+        import monortm_tpu.pipeline as pl
+        cap = args.chunk_size
+        pl._max_batch = lambda *a, **k: cap
     t0 = time.time()
     res = run(filein=args.out / "MONORTM.IN", hfile=tape3,
-              outdir=args.out, dtype=jnp.float32)
+              outdir=args.out, dtype=jnp.float32, workers=workers)
     dt = time.time() - t0
     n = len(res.tb)
     print(f"e2e: {n} profiles x {len(res.wn)} wn in {dt:.2f}s "
