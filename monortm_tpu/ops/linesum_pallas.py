@@ -592,44 +592,32 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
 
     def bwd_impl(pre_ln7, g):
         # adjoint sweep over the REVERSE candidate map: same block
-        # sparsity as the forward, transposed.  Single-device (incl. the
-        # segmented-envelope path); under a mesh differentiate through
-        # engine="lorentz-xla" or the dense engine instead.
-        if not single:
-            raise NotImplementedError(
-                "pallas line-kernel VJP under a device mesh is not "
-                "wired; use engine='lorentz-xla' (exact where "
-                "zeta > 0.99), the dense XLA engine, or take gradients "
-                "single-device")
+        # sparsity as the forward, transposed.  The vjp-traced block
+        # holds O(hundreds) of [W, Nt] f32 intermediates live between
+        # the recomputed forward and its transpose; at W = wt = 128
+        # that overflows the ~16 MB scoped VMEM (measured: 72 MB at the
+        # bench shapes), and an in-kernel unrolled sub-slice loop does
+        # NOT get its stack reused across iterations (measured: still
+        # 40 MB).  So the wavenumber sub-slice is a GRID dimension:
+        # each reverse slot expands into wsub_b steps over
+        # wt/wsub_b-sublane slices, and each step's vjp body only ever
+        # materializes one slice.  The d_* accumulations over W are
+        # associative sums, so only their rounding order changes.
+        wsub_b = 1 if interpret else max(1, wt // 16)
+        wc = wt // wsub_b
+        k_tiles = n // nt
         ln_args = [shape_ln(v) for v in pre_ln7]
         if lp != L:
             g = jnp.concatenate(
                 [g, jnp.zeros((lp - L,) + g.shape[1:], g.dtype)], axis=0)
         g4 = g.reshape(lp // lt, lt, wp, n_mol)
-        k_tiles = n // nt
-        rmap, rvalid = _reverse_map(cand_map, cand_valid, k_tiles)
-        # the vjp-traced block holds O(hundreds) of [W, Nt] f32
-        # intermediates live between the recomputed forward and its
-        # transpose; at W = wt = 128 that overflows the ~16 MB scoped
-        # VMEM (measured: 72 MB at the bench shapes), and an in-kernel
-        # unrolled sub-slice loop does NOT get its stack reused across
-        # iterations (measured: still 40 MB).  So the wavenumber
-        # sub-slice is a GRID dimension instead: each reverse slot
-        # expands into wsub_b steps over wt/wsub_b-sublane slices, and
-        # each step's vjp body only ever materializes one slice.  The
-        # d_* accumulations over W are associative sums, so only their
-        # rounding order changes.
-        wsub_b = 1 if interpret else max(1, wt // 16)
-        wc = wt // wsub_b
-        rmap2 = (np.repeat(rmap, wsub_b, axis=1) * wsub_b
-                 + np.tile(np.arange(wsub_b, dtype=np.int32),
-                           rmap.shape[1]))
-        rvalid2 = np.repeat(rvalid, wsub_b, axis=1)
-        if rmap2.shape[0] * rmap2.shape[1] * 8 > _SMEM_MAP_BUDGET:
-            segs = _budget_segments(rvalid2.sum(axis=1),
-                                    _SMEM_MAP_BUDGET // 8)
-        else:
-            segs = [(0, k_tiles, rmap2.shape[1])]
+
+        def expand(rm, rv):
+            """wsub_b wn sub-slice steps per reverse slot."""
+            r = rm.shape[1]
+            rm2 = (np.repeat(rm, wsub_b, axis=1) * wsub_b
+                   + np.tile(np.arange(wsub_b, dtype=np.int32), r))
+            return rm2, np.repeat(rv, wsub_b, axis=1)
 
         # wn operands reshaped to [wp/wc, 8, wc] (a broadcast sublane
         # dim of 8) so the (1, 8, wc) block satisfies the Pallas
@@ -648,40 +636,112 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                             lambda l, k, s, rm, rv: (l, 0, rm[k, s], 0))])
         out_spec = pl.BlockSpec((1, lt, nt), k_ln)
 
-        parts = []
-        for s0, s1, nc in segs:
-            sl = slice(s0 * nt, s1 * nt)
-            a_s = ([jnp.broadcast_to(v.reshape(-1, 1, wc),
-                                     (wp // wc, 8, wc))
-                    for v in wn_args]
-                   + [v[:, sl] for v in per_l_args]
-                   + [v[:, :, sl] for v in ln_args]
-                   + [v[:, sl] for v in flag_args]
-                   + [onehot[sl], g4])
-            k_loc = s1 - s0
+        def bwd_call(rm_, rv_, *a):
+            lb_loc = a[2 + len(PER_L)].shape[0]   # first PER_LN operand
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(lp // lt, k_loc, nc),
+                grid=(lb_loc, rv_.shape[0], rv_.shape[1]),
                 in_specs=bwd_specs,
                 out_specs=(out_spec,) * len(PER_LN))
-            parts.append(pl.pallas_call(
+            return pl.pallas_call(
                 functools.partial(_bwd_kernel, lt=lt,
                                   chi_fn=cfg.chi_fn),
                 grid_spec=grid_spec,
                 out_shape=tuple(jax.ShapeDtypeStruct(
-                    (lp // lt, lt, k_loc * nt), jnp.float32)
+                    (lb_loc, lt, rv_.shape[0] * nt), jnp.float32)
                     for _ in PER_LN),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel",
                                          "arbitrary")),
                 interpret=interpret,
-            )(jnp.asarray(rmap2[s0:s1, :nc]),
-              jnp.asarray(rvalid2[s0:s1, :nc]), *a_s))
-        if len(parts) == 1:
-            outs = parts[0]
-        else:
-            outs = tuple(jnp.concatenate([p_[i] for p_ in parts], axis=2)
-                         for i in range(len(PER_LN)))
+            )(rm_, rv_, *a)
+
+        wn3 = [jnp.broadcast_to(v.reshape(-1, 1, wc), (wp // wc, 8, wc))
+               for v in wn_args]
+
+        if single:
+            rmap, rvalid = _reverse_map(cand_map, cand_valid, k_tiles)
+            rmap2, rvalid2 = expand(rmap, rvalid)
+            if rmap2.shape[0] * rmap2.shape[1] * 8 > _SMEM_MAP_BUDGET:
+                segs = _budget_segments(rvalid2.sum(axis=1),
+                                        _SMEM_MAP_BUDGET // 8)
+            else:
+                segs = [(0, k_tiles, rmap2.shape[1])]
+            parts = []
+            for s0, s1, nc in segs:
+                sl = slice(s0 * nt, s1 * nt)
+                a_s = (wn3
+                       + [v[:, sl] for v in per_l_args]
+                       + [v[:, :, sl] for v in ln_args]
+                       + [v[:, sl] for v in flag_args]
+                       + [onehot[sl], g4])
+                parts.append(bwd_call(jnp.asarray(rmap2[s0:s1, :nc]),
+                                      jnp.asarray(rvalid2[s0:s1, :nc]),
+                                      *a_s))
+            if len(parts) == 1:
+                outs = parts[0]
+            else:
+                outs = tuple(
+                    jnp.concatenate([p_[i] for p_ in parts], axis=2)
+                    for i in range(len(PER_LN)))
+            return tuple(o.reshape(lp, n)[:L] for o in outs)
+
+        # ---- mesh path: per-shard reverse maps ----------------------
+        # each (wn[, line]) shard re-sweeps exactly the (local wn
+        # sub-tile, candidate-subset) blocks it owned in the forward;
+        # the seven cotangent partials psum over ("wn"[, "line"]) and
+        # stay sharded over "prof" like the per-(layer, line) inputs —
+        # the hand-written transpose of the forward's shard_map.
+        nw = mesh.shape["wn"]
+        n_line = dict(mesh.shape).get("line", 1)
+        rows = n_wt // nw
+        cols = n_cand // n_line
+        cm_h = np.asarray(cand_map)
+        cv_h = np.asarray(cand_valid)
+        packs = []
+        n_rev = 1
+        for w in range(nw):
+            for li in range(n_line):
+                rm, rv = _reverse_map(
+                    cm_h[w * rows:(w + 1) * rows,
+                         li * cols:(li + 1) * cols],
+                    cv_h[w * rows:(w + 1) * rows,
+                         li * cols:(li + 1) * cols], k_tiles)
+                packs.append((rm, rv))
+                n_rev = max(n_rev, rm.shape[1])
+        rm2 = np.zeros((nw * n_line, k_tiles, n_rev * wsub_b), np.int32)
+        rv2 = np.zeros_like(rm2)
+        for idx, (rm, rv) in enumerate(packs):
+            a, b = expand(rm, rv)
+            rm2[idx, :, :a.shape[1]] = a
+            rv2[idx, :, :b.shape[1]] = b
+        if k_tiles * rm2.shape[2] * 8 > _SMEM_MAP_BUDGET:
+            raise ValueError(
+                f"per-shard reverse map ({k_tiles} line tiles x "
+                f"{rm2.shape[2]} slots) exceeds the "
+                f"{_SMEM_MAP_BUDGET} B scalar-prefetch budget; use more "
+                "'wn'/'line' mesh shards or take this gradient "
+                "single-device (the wn axis segments automatically "
+                "there)")
+
+        axes = ("wn",) + (("line",) if n_line > 1 else ())
+
+        def body(rm_, rv_, wnh, wnl, *a):
+            outs = bwd_call(rm_[0], rv_[0], wnh, wnl, *a)
+            return tuple(jax.lax.psum(o, axes) for o in outs)
+
+        lead = P(("wn", "line") if n_line > 1 else "wn", None, None)
+        specs = ((lead, lead, P("wn", None, None), P("wn", None, None))
+                 + (P(None, None),) * len(PER_L)
+                 + (P("prof", None, None),) * len(PER_LN)
+                 + (P(None, None),) * len(FLAGS)
+                 + (P(None, None), P("prof", None, "wn", None)))
+        outs = shard_map(
+            body, mesh=mesh, in_specs=specs,
+            out_specs=(P("prof", None, None),) * len(PER_LN),
+            check_vma=False,
+        )(jnp.asarray(rm2), jnp.asarray(rv2), *wn3,
+          *per_l_args, *ln_args, *flag_args, onehot, g4)
         return tuple(o.reshape(lp, n)[:L] for o in outs)
 
     @jax.custom_vjp
