@@ -133,7 +133,9 @@ def odclw_tkc_ref(wn: float, temp: float, clw: float) -> float:
 # RT (RTMmono.f90:157-221, 13-155, 239-325)
 
 def _bb(v, t):
-    return RADCN1 * v**3 / (np.exp(v * RADCN2 / t) - 1.0)
+    # overflow -> inf -> Planck 0 is the correct cold/IR limit
+    with np.errstate(over="ignore"):
+        return RADCN1 * v**3 / (np.exp(v * RADCN2 / t) - 1.0)
 
 
 def rad_up_dn_ref(o, t, tz, wn, irt):

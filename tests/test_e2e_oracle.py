@@ -4,8 +4,9 @@ vs the INDEPENDENT end-to-end NumPy reference (tests/reference_e2e.py).
 The 7 golden files are frozen outputs of this framework's own f64 path
 (true Fortran ground truth is unobtainable in this image — broken TAPE3
 symlink, no Fortran compiler).  This test breaks that self-referential
-loop for cases 1 (IATM=1 model atmosphere), 4 (IATM=0 layer input) and
-5 (liquid cloud): an independently-composed chain of the transliteration
+loop for cases 1 (IATM=1 model atmosphere), 2 (upwelling IRT=1),
+4 (IATM=0 layer input), 5 (liquid cloud) and 7 (SD-Voigt slant lidar):
+an independently-composed chain of the transliteration
 oracles — LINES, MT_CKD, TIPS, TKC cloud, RAD_UP_DN/RTM/CALCTMR, the
 record grammars — must reproduce the pipeline's Tb/TMR/RAD/TRANS/OD
 columns to f64 tightness.  A consistent cross-component convention bug
@@ -132,3 +133,35 @@ def test_independent_chain_iatm1_case1(tmp_path):
     idx = [0, 17, 34, 50, 67, 83, 100]
     cfg, refs = _reference_chain(filein, layering_prof=lay, wn_idx=idx)
     _compare(out.results[0], refs[0], idx, nmol=meta.nmol)
+
+
+@pytest.mark.parametrize("case,filein", [
+    # case 2: upwelling — exercises the IRT=1 surface emission/
+    # reflection combine hand-off (RTMmono.f90:138-139)
+    (2, "MONORTM.IN_MDL_ATM_up"),
+    # case 7: 6365 cm^-1 slant lidar — exercises the SD-Voigt regime,
+    # the f64 line-centre arithmetic the two-float splits must match,
+    # and the refracted-path layering output
+    (7, "MONORTM.IN_IATM1_lidar_up"),
+])
+def test_independent_chain_iatm1_more(case, filein, tmp_path):
+    out = _run_production(tmp_path, filein, None)
+
+    from monortm_tpu.atmos.tape5_atm import profiles_from_tape5
+    from monortm_tpu.io.tape5 import Tape5Reader
+    rd = Tape5Reader(tmp_path / "MONORTM.IN")
+    cfg5 = rd.read_block()
+    profs = profiles_from_tape5(tmp_path / "MONORTM.IN", cfg5)
+    st, meta = profs[0].state, profs[0].meta
+    irt = 1 if meta.angle > 90.0 else (2 if meta.angle == 90.0 else 3)
+    lay = dict(p=np.asarray(st.p), t=np.asarray(st.t),
+               tz=np.asarray(st.tz), clw=np.asarray(st.clw),
+               wkl=np.asarray(st.wkl)[:, :meta.nmol],
+               wbrodl=np.asarray(st.wbrodl), nmol=meta.nmol,
+               angle=meta.angle, irt=irt)
+
+    cfg, refs = _reference_chain(filein, layering_prof=lay)
+    idx = np.arange(len(cfg["wn"]))
+    _compare(out.results[0], refs[0], idx, nmol=meta.nmol)
+    if case == 7:
+        assert refs[0]["otot"].max() > 0    # non-vacuous
