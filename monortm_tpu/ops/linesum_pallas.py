@@ -234,14 +234,18 @@ def _kernel(cmap_ref, cvalid_ref,
 
 def _contrib_block(wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2, is_co2,
                    has_cpl, xf1, xf15, valid,
-                   shift, stild, hw, ad, k3v, ya, yb, chi_fn):
-    """Ungated per-block forward math -> contrib [W, Nt].
+                   shift, stild, hw, ad, k3v, ya, yb, chi_fn,
+                   gate: bool = False):
+    """Per-block forward math -> contrib [W, Nt].
 
-    Mirrors _kernel's gated branch value-for-value (the gating there is a
-    compute skip, not a semantics change); used by the backward kernel,
-    which re-derives the block under jax.vjp so the cotangents are the
-    exact adjoint of the shipped forward — including every Humlicek /
-    SD-Voigt rational, the branch trees, and the pedestal subtraction."""
+    Mirrors _kernel's branch value-for-value; used by the backward
+    kernel, which re-derives the block under jax.vjp so the cotangents
+    are the exact adjoint of the shipped forward — including every
+    Humlicek / SD-Voigt rational, the branch trees, and the pedestal
+    subtraction.  gate=True adds the same whole-block lax.cond skip of
+    the SD-Voigt machinery as the forward kernel (values identical; the
+    vjp of lax.cond differentiates the taken branch, so the adjoint of
+    an all-Lorentz block never traces the Humlicek transpose)."""
     xnu = nu_hi + (nu_lo + shift)
     d1 = (wn_hi - nu_hi) + (wn_lo - nu_lo) - shift
     dsum = wn_hi + xnu
@@ -258,12 +262,33 @@ def _contrib_block(wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2, is_co2,
     hw_pi = hw * (1.0 / jnp.float32(np.pi))
     pi_hw2 = hw * hw
 
-    def K(dd):
-        dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape))
-        return jnp.where(use_lor, hw_pi / (pi_hw2 + dd * dd), dv)
+    def lor(dd):
+        return hw_pi / (pi_hw2 + dd * dd)
 
-    k1 = K(d1)
-    k2 = K(dsum)
+    if gate:
+        any_voigt = jnp.any(keep & ~use_lor)
+
+        def K_g(dd, dl):
+            def full():
+                dv = sdvoigt(dd, hw, ad,
+                             jnp.broadcast_to(sdep, dd.shape),
+                             gate=True)
+                return jnp.where(use_lor, dl, dv)
+
+            return jax.lax.cond(any_voigt, full, lambda: dl)
+
+        k1 = K_g(d1, lor(d1))
+        k2 = jax.lax.cond(
+            jnp.any((mirror & keep) | (is_o2 & has_cpl & valid)),
+            lambda: K_g(dsum, lor(dsum)),
+            lambda: jnp.zeros_like(d1))
+    else:
+        def K(dd):
+            dv = sdvoigt(dd, hw, ad, jnp.broadcast_to(sdep, dd.shape))
+            return jnp.where(use_lor, lor(dd), dv)
+
+        k1 = K(d1)
+        k2 = K(dsum)
 
     y1 = 1.0 + ya * d1 + yb
     y2 = 1.0 - ya * dsum + yb
@@ -300,7 +325,8 @@ def _bwd_kernel(rmap_ref, rvalid_ref,
                 fo2_ref, fco2_ref, fcpl_ref, fxf1_ref, fxf15_ref, fval_ref,
                 onehot_ref, g_ref,
                 dshift_ref, dstild_ref, dhw_ref, dad_ref, dk3v_ref,
-                dya_ref, dyb_ref, *, lt: int, chi_fn=None):
+                dya_ref, dyb_ref, *, lt: int, chi_fn=None,
+                gate: bool = True):
     """Adjoint sweep: grid (layer-pack, catalog tile k, reverse slot s).
 
     The reverse map lists, for each catalog line tile, the wavenumber
@@ -346,7 +372,8 @@ def _bwd_kernel(rmap_ref, rvalid_ref,
                 return _contrib_block(
                     wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2, is_co2,
                     has_cpl, xf1, xf15, valid,
-                    shift, stild, hw, ad, k3v, ya, yb, chi_fn)
+                    shift, stild, hw, ad, k3v, ya, yb, chi_fn,
+                    gate=gate)
 
             args = (shift_ref[0, q, :][None, :],
                     stild_ref[0, q, :][None, :],
@@ -643,9 +670,15 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                 grid=(lb_loc, rv_.shape[0], rv_.shape[1]),
                 in_specs=bwd_specs,
                 out_specs=(out_spec,) * len(PER_LN))
+            # gate=False: the vjp of the whole-block lax.cond skip
+            # trips a Mosaic lowering bug ("Null layout / non-vector
+            # operand" on the scalar-pred i1-vector select the cond
+            # transpose emits), so the backward stays ungated — every
+            # block pays the full SD-Voigt adjoint.  _contrib_block
+            # keeps the gate for when the lowering gap closes.
             return pl.pallas_call(
                 functools.partial(_bwd_kernel, lt=lt,
-                                  chi_fn=cfg.chi_fn),
+                                  chi_fn=cfg.chi_fn, gate=False),
                 grid_spec=grid_spec,
                 out_shape=tuple(jax.ShapeDtypeStruct(
                     (lb_loc, lt, rv_.shape[0] * nt), jnp.float32)
