@@ -259,9 +259,18 @@ def parse_tape5_min(path):
     v1, v2 = _ff(r13[0:10]), _ff(r13[10:20])
     dvset = _ff(r13[30:40])
     nmol_scal = _fi(r13[100:105])
-    if nmol_scal > 0:
-        raise NotImplementedError("oracle does not scale profiles")
     k += 1
+    hmol_scal, xmol_scal = "", []
+    if nmol_scal > 0:
+        # records 1.3.a/1.3.b (formats 9701 64a1 / 9702 7e15.7+8e15.7)
+        hmol_scal = lines[k].ljust(64)[:nmol_scal]
+        k += 1
+        while len(xmol_scal) < nmol_scal:
+            row = lines[k]
+            k += 1
+            xmol_scal += [_ff(row[15 * j:15 * (j + 1)])
+                          for j in range(len(row.rstrip()) // 15 + 1)
+                          if row[15 * j:15 * (j + 1)].strip()]
     if v1 < 0.0 or v2 < 0.0:
         nwn = _fi(lines[k][:8])
         k += 1
@@ -276,7 +285,48 @@ def parse_tape5_min(path):
     bndemi = [_ff(r14[10 + 10 * j:20 + 10 * j]) for j in range(3)]
     bndrfl = [_ff(r14[40 + 10 * j:50 + 10 * j]) for j in range(3)]
     return dict(wn=wn, dvset=dvset, tbound=tbound, bndemi=bndemi,
-                bndrfl=bndrfl, **flags)
+                bndrfl=bndrfl, nmol_scal=nmol_scal,
+                hmol_scal=hmol_scal, xmol_scal=xmol_scal, **flags)
+
+
+def profil_scal_ref(wkl, wbrodl, nmol, hmol_scal, xmol_scal,
+                    nmol_scal):
+    """profil_scal_sub transliteration (monortm_sub.F90:937-1044):
+    per-molecule scale modes ' '/0/1/C/M/P/D applied to wkl [nlay, nmol]
+    (returns a scaled copy)."""
+    wkl = np.array(wkl, np.float64)
+    nlayrs = wkl.shape[0]
+    wmt = [wkl[:, m].sum() for m in range(nmol)]
+    wsum_brod = float(np.sum(wbrodl))
+    wsum_drair = 0.0 if nmol >= 22 else wsum_brod
+    for m in range(1, nmol):
+        wsum_drair += wmt[m]
+    for m in range(nmol_scal):
+        h = hmol_scal[m]
+        x = xmol_scal[m]
+        if h == " ":
+            fac = 1.0
+        elif h == "0":
+            fac = 0.0
+        elif h == "1":
+            fac = x
+        elif h in "Cc":
+            fac = x / wmt[m]
+        elif h in "Mm":
+            if wsum_drair <= 0:
+                raise ValueError("wsum_drair = 0")
+            fac = x / (wmt[m] / wsum_drair)
+        elif h in "Pp":
+            if m != 0:
+                raise ValueError("P scaling only for H2O")
+            fac = (x / 2.99150e-23) / wmt[0]
+        elif h in "Dd":
+            fac = (x * 2.68678e16) / wmt[m]
+        else:
+            raise ValueError(h)
+        for l in range(nlayrs):
+            wkl[l, m] = wkl[l, m] * fac
+    return wkl
 
 
 def emisfn_ref(wn, coef):
@@ -356,7 +406,8 @@ def parse_profin(path):
 # the composed end-to-end chain (monortm.f90:357-588)
 
 def reference_profile(g, wn, dvset, prof, tbound, bndemi, bndrfl,
-                      wn_idx=None):
+                      wn_idx=None, nmol_scal=0, hmol_scal="",
+                      xmol_scal=()):
     """One profile through the full independent chain.
 
     g: grouped line arrays (lines.group output, the oracle-tested TAPE3
@@ -372,6 +423,9 @@ def reference_profile(g, wn, dvset, prof, tbound, bndemi, bndrfl,
     p, t, tz = prof["p"], prof["t"], prof["tz"]
     wkl, wbrodl, clw = prof["wkl"], prof["wbrodl"], prof["clw"]
     nmol, irt = prof["nmol"], prof["irt"]
+    if nmol_scal > 0:   # profil_scal_sub runs before MODM/INTEGR
+        wkl = profil_scal_ref(wkl, wbrodl, nmol, hmol_scal, xmol_scal,
+                              nmol_scal)
     nlay = len(p)
     nwn = len(wns)
 

@@ -4,9 +4,9 @@ vs the INDEPENDENT end-to-end NumPy reference (tests/reference_e2e.py).
 The 7 golden files are frozen outputs of this framework's own f64 path
 (true Fortran ground truth is unobtainable in this image — broken TAPE3
 symlink, no Fortran compiler).  This test breaks that self-referential
-loop for cases 1 (IATM=1 model atmosphere), 2 (upwelling IRT=1),
-4 (IATM=0 layer input), 5 (liquid cloud) and 7 (SD-Voigt slant lidar):
-an independently-composed chain of the transliteration
+loop for ALL SEVEN example cases (model atmosphere, upwelling IRT=1,
+radiosonde layering, IATM=0 layer input, liquid cloud, PWV profile
+scaling, SD-Voigt slant lidar): an independently-composed chain of the transliteration
 oracles — LINES, MT_CKD, TIPS, TKC cloud, RAD_UP_DN/RTM/CALCTMR, the
 record grammars — must reproduce the pipeline's Tb/TMR/RAD/TRANS/OD
 columns to f64 tightness.  A consistent cross-component convention bug
@@ -64,7 +64,10 @@ def _reference_chain(filein, profin=None, layering_prof=None,
         profs = parse_profin(REF_IN / profin)
     return cfg, [reference_profile(g, wn, cfg["dvset"], p, cfg["tbound"],
                                    cfg["bndemi"], cfg["bndrfl"],
-                                   wn_idx=wn_idx)
+                                   wn_idx=wn_idx,
+                                   nmol_scal=cfg["nmol_scal"],
+                                   hmol_scal=cfg["hmol_scal"],
+                                   xmol_scal=cfg["xmol_scal"])
                  for p in profs]
 
 
@@ -139,6 +142,11 @@ def test_independent_chain_iatm1_case1(tmp_path):
     # case 2: upwelling — exercises the IRT=1 surface emission/
     # reflection combine hand-off (RTMmono.f90:138-139)
     (2, "MONORTM.IN_MDL_ATM_up"),
+    # case 3: user radiosonde (MODEL=0) through the layering stack
+    (3, "MONORTM.IN_NOSCALE_IATM1_dn"),
+    # case 6: H2O PWV profile scaling (profil_scal_sub,
+    # monortm_sub.F90:937) applied independently before the physics
+    (6, "MONORTM.IN_SCALE_IATM1_MODEL0_HMOL1_dn"),
     # case 7: 6365 cm^-1 slant lidar — exercises the SD-Voigt regime,
     # the f64 line-centre arithmetic the two-float splits must match,
     # and the refracted-path layering output

@@ -6,8 +6,8 @@ The goldens were produced by this framework's double-precision CPU path
 (true reference outputs are impossible in this image: the reference TAPE3
 is a broken symlink and there is no Fortran compiler — VERDICT r1 item 7);
 column semantics follow monortm_sub.F90:519-801.  They are no longer
-purely self-referential: tests/test_e2e_oracle.py re-derives cases 1, 4
-and 5 through an INDEPENDENT composition of the transliteration oracles
+purely self-referential: tests/test_e2e_oracle.py re-derives ALL SEVEN
+cases through an INDEPENDENT composition of the transliteration oracles
 (tests/reference_e2e.py) and pins the production f64 path against it at
 ~1e-13 K, so a cross-component convention bug cannot hide in the frozen
 files.
