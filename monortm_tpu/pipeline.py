@@ -948,31 +948,49 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
             import queue as _queue
             import threading
             q: Any = _queue.Queue(maxsize=2)
+            stop = threading.Event()
+
+            def _put(x):
+                """Bounded put that gives up if the consumer died."""
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=1.0)
+                        return
+                    except _queue.Full:
+                        continue
 
             def feeder():
                 try:
                     for it in produce():
-                        q.put(it)
-                    q.put(("done", None))
+                        _put(it)
+                        if stop.is_set():
+                            return
+                    _put(("done", None))
                 except BaseException as e:    # re-raised in the consumer
-                    q.put(("err", e))
+                    _put(("err", e))
 
             th = threading.Thread(target=feeder, daemon=True)
             th.start()
-            pending = None
-            while True:
-                nxt = q.get()
-                if isinstance(nxt, tuple):
-                    if nxt[0] == "err":
-                        raise nxt[1]
-                    break
-                dev = dispatch(nxt)
+            try:
+                pending = None
+                while True:
+                    nxt = q.get()
+                    if isinstance(nxt, tuple):
+                        if nxt[0] == "err":
+                            raise nxt[1]
+                        break
+                    dev = dispatch(nxt)
+                    if pending is not None:
+                        finalize(pending)
+                    pending = dev
                 if pending is not None:
                     finalize(pending)
-                pending = dev
-            if pending is not None:
-                finalize(pending)
-            th.join()
+            finally:
+                # unblock + retire the producer even when dispatch or
+                # finalize raised (otherwise it would sit on a full
+                # queue for the life of the process)
+                stop.set()
+                th.join(timeout=30.0)
 
     nprof = len(prepped)
     results = [results[i] for i in range(len(prepped))]
