@@ -265,7 +265,15 @@ def _contrib_block(wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2, is_co2,
     def lor(dd):
         return hw_pi / (pi_hw2 + dd * dd)
 
-    if gate:
+    if gate == "lorentz":
+        # exact where no kept lane is SD-Voigt (keep & ~use_lor empty):
+        # every surviving lane routes through the Lorentz expressions,
+        # masked lanes never contribute, and dk3v is zero either way.
+        # The backward kernel selects this branch per block at runtime.
+        k1 = lor(d1)
+        k2 = lor(dsum)
+        k3 = k3l
+    elif gate:
         any_voigt = jnp.any(keep & ~use_lor)
 
         def K_g(dd, dl):
@@ -368,13 +376,6 @@ def _bwd_kernel(rmap_ref, rvalid_ref,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-            def f(shift, stild, hw, ad, k3v, ya, yb):
-                return _contrib_block(
-                    wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2, is_co2,
-                    has_cpl, xf1, xf15, valid,
-                    shift, stild, hw, ad, k3v, ya, yb, chi_fn,
-                    gate=gate)
-
             args = (shift_ref[0, q, :][None, :],
                     stild_ref[0, q, :][None, :],
                     hw_ref[0, q, :][None, :],
@@ -382,11 +383,48 @@ def _bwd_kernel(rmap_ref, rvalid_ref,
                     k3v_ref[0, q, :][None, :],
                     ya_ref[0, q, :][None, :],
                     yb_ref[0, q, :][None, :])
-            _, vjp = jax.vjp(f, *args)
-            ds = vjp(gbar)
-            for r, d in zip((dshift_ref, dstild_ref, dhw_ref, dad_ref,
-                             dk3v_ref, dya_ref, dyb_ref), ds):
-                r[0, q, :] += d[0, :]
+
+            def f_of(mode):
+                def f(shift, stild, hw, ad, k3v, ya, yb):
+                    return _contrib_block(
+                        wn_hi, wn_lo, nu_hi, nu_lo, sdep, is_o2,
+                        is_co2, has_cpl, xf1, xf15, valid,
+                        shift, stild, hw, ad, k3v, ya, yb, chi_fn,
+                        gate=mode)
+                return f
+
+            def acc(ds):
+                for r, d in zip((dshift_ref, dstild_ref, dhw_ref,
+                                 dad_ref, dk3v_ref, dya_ref, dyb_ref),
+                                ds):
+                    r[0, q, :] += d[0, :]
+
+            if not gate:
+                _, vjp = jax.vjp(f_of(False), *args)
+                acc(vjp(gbar))
+            else:
+                # block-level skip of the SD-Voigt TRANSPOSE: the
+                # predicate mirrors the forward's gate, and the cond
+                # sits AROUND two independently-derived vjps (no
+                # cond-transpose — the pattern Mosaic cannot lower)
+                shift_q, hw_q, ad_q = args[0], args[2], args[3]
+                d1 = ((wn_hi - nu_hi) + (wn_lo - nu_lo) - shift_q)
+                within = jnp.abs(d1) <= DELTNU_CUT
+                keep = (within | is_o2) & valid
+                zlor = (hw_q * jnp.float32(0.01)
+                        > ad_q * jnp.float32(0.99))
+                use_lor = (jnp.abs(d1) > 100.0 * ad_q) | zlor
+                any_voigt = jnp.any(keep & ~use_lor)
+
+                def full_branch():
+                    _, vjp = jax.vjp(f_of(False), *args)
+                    acc(vjp(gbar))
+
+                def lor_branch():
+                    _, vjp = jax.vjp(f_of("lorentz"), *args)
+                    acc(vjp(gbar))
+
+                jax.lax.cond(any_voigt, full_branch, lor_branch)
 
 
 def _reverse_map(cand_map, cand_valid, k_tiles: int):
@@ -670,15 +708,9 @@ def line_od_pallas(tiled_cat: dict, wn_hi: np.ndarray, wn_lo: np.ndarray,
                 grid=(lb_loc, rv_.shape[0], rv_.shape[1]),
                 in_specs=bwd_specs,
                 out_specs=(out_spec,) * len(PER_LN))
-            # gate=False: the vjp of the whole-block lax.cond skip
-            # trips a Mosaic lowering bug ("Null layout / non-vector
-            # operand" on the scalar-pred i1-vector select the cond
-            # transpose emits), so the backward stays ungated — every
-            # block pays the full SD-Voigt adjoint.  _contrib_block
-            # keeps the gate for when the lowering gap closes.
             return pl.pallas_call(
                 functools.partial(_bwd_kernel, lt=lt,
-                                  chi_fn=cfg.chi_fn, gate=False),
+                                  chi_fn=cfg.chi_fn, gate=gate),
                 grid_spec=grid_spec,
                 out_shape=tuple(jax.ShapeDtypeStruct(
                     (lb_loc, lt, rv_.shape[0] * nt), jnp.float32)
