@@ -458,6 +458,33 @@ def _atmpth_block(args):
     return atmpth(rest, v1, v2, ixsect=ixsect, fscdxs_dir=fdir)
 
 
+def _layering_args(filein):
+    """Read the '$'-stacked blocks and build per-profile layering args."""
+    from pathlib import Path
+    from monortm_tpu.io.tape5 import Tape5Reader
+    rd = Tape5Reader(filein)
+    blocks = []
+    while not rd.at_end():
+        blocks.append(rd.read_block())
+    fdir = Path(filein).parent
+    return [(blk.rest, blk.v1, blk.v2, blk.ixsect, fdir)
+            for blk in blocks]
+
+
+def _auto_workers(n_blocks: int, streaming: bool) -> int:
+    """Layering fan-out heuristic.  The blocking variant pools only when
+    there are enough cores/profiles for the fork+pickle overhead to pay
+    off inside the stage itself; the streaming variant pools earlier
+    because the pool's latency hides behind the producer's own prep work
+    (pipeline.run overlap) — measured a win at 2 cores / 500 profiles."""
+    import os
+    ncpu = len(os.sched_getaffinity(0)) \
+        if hasattr(os, "sched_getaffinity") else (os.cpu_count() or 1)
+    if streaming:
+        return 1 if (n_blocks < 64 or ncpu < 2) else min(ncpu, 16)
+    return 1 if (n_blocks < 256 or ncpu < 4) else min(ncpu, 16)
+
+
 def profiles_from_tape5(filein, cfg, workers: int | None = None
                         ) -> list[Profile]:
     """All '$'-stacked IATM=1 profiles of a MONORTM.IN file.
@@ -466,23 +493,10 @@ def profiles_from_tape5(filein, cfg, workers: int | None = None
     cores for large stacked runs (the 10k-radiosonde input-pipeline case,
     SURVEY.md section 7); profiles are independent, order is preserved.
     """
-    import os
-    from pathlib import Path
-    from monortm_tpu.io.tape5 import Tape5Reader
-    rd = Tape5Reader(filein)
-    blocks = []
-    while not rd.at_end():
-        blocks.append(rd.read_block())
-    fdir = Path(filein).parent
-    args = [(blk.rest, blk.v1, blk.v2, blk.ixsect, fdir) for blk in blocks]
-
+    args = _layering_args(filein)
     if workers is None:
-        ncpu = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") \
-            else (os.cpu_count() or 1)
-        # fan out only when there are enough cores for the pool overhead
-        # to pay off (on <=2-core hosts single-process wins)
-        workers = 1 if (len(blocks) < 256 or ncpu < 4) else min(ncpu, 16)
-    if workers <= 1 or len(blocks) < 2 * workers:
+        workers = _auto_workers(len(args), streaming=False)
+    if workers <= 1 or len(args) < 2 * workers:
         return [_atmpth_block(a) for a in args]
 
     from concurrent.futures import ProcessPoolExecutor
@@ -496,28 +510,24 @@ def profiles_from_tape5_iter(filein, cfg, workers: int | None = None):
     input order as the worker pool completes them, so the pipeline can
     start device work on early profiles while later ones are still
     being layered (the producer/consumer overlap in pipeline.run)."""
-    import os
-    from pathlib import Path
-    from monortm_tpu.io.tape5 import Tape5Reader
-    rd = Tape5Reader(filein)
-    blocks = []
-    while not rd.at_end():
-        blocks.append(rd.read_block())
-    fdir = Path(filein).parent
-    args = [(blk.rest, blk.v1, blk.v2, blk.ixsect, fdir) for blk in blocks]
-
+    args = _layering_args(filein)
     if workers is None:
-        ncpu = len(os.sched_getaffinity(0)) \
-            if hasattr(os, "sched_getaffinity") else (os.cpu_count() or 1)
-        workers = 1 if len(blocks) < 64 else min(ncpu, 16)
-    if workers <= 1 or len(blocks) < 2 * workers:
+        workers = _auto_workers(len(args), streaming=True)
+    if workers <= 1 or len(args) < 2 * workers:
         for a in args:
             yield _atmpth_block(a)
         return
     from concurrent.futures import ProcessPoolExecutor
     chunk = max(1, min(16, len(args) // (4 * workers)))
-    with ProcessPoolExecutor(workers) as ex:
+    ex = ProcessPoolExecutor(workers)
+    try:
         yield from ex.map(_atmpth_block, args, chunksize=chunk)
+        ex.shutdown(wait=True)
+    finally:
+        # abandoned mid-stream (consumer error): cancel the eagerly
+        # submitted layering tasks instead of blocking the interpreter
+        # exit on the full 10k-profile backlog
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def xamnts(rd: AtmRecordReader, prof: lay.ModelProfile,

@@ -757,6 +757,13 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                                           n_prof_shards)
             if len(buffers[key]) >= bmax_of[key]:
                 yield emit(key)
+        # layering is complete here: write the TAPE7 checkpoint artifact
+        # BEFORE the remaining device work so a mid-compute failure
+        # cannot lose the expensive layering output (the reference
+        # writes it from LBLATM, lblatm.f90:1264-1340)
+        if punched and is_main:
+            from monortm_tpu.io.tape7 import write_tape7
+            write_tape7(Path(outdir) / "TAPE7", punched, xid=cfg.xid)
         for key in list(buffers):         # flush partial buffers
             yield emit(key)
 
@@ -785,22 +792,23 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
         # cloud OD in its own jit (see od_clw_in in models/od.py)
         with timer.stage("cloud-od"):
             h["oclw"] = clw_fn(h["t"], h["clw"])
-        if item["can_lor"]:
+        if item["can_lor"] and _cpu0 is not None:
             # per-layer zeta predicate -> engine choice: all layers
             # Lorentz -> lean XLA sweep; some -> hybrid layer split;
             # none -> Pallas kernel.  Evaluated on the LOCAL CPU
             # backend where one exists: the check is O(L x N)
             # elementwise, and a remote first compile costs 20-100 s
-            # (see clw_fn above)
+            # (see clw_fn above).  Multi-controller runs (no local CPU
+            # diversion) defer the predicate to dispatch(), where it
+            # runs on the mesh-sharded state — an unsharded evaluation
+            # here would concentrate the full-chunk line_params
+            # intermediates on one device.
             with timer.stage("engine-predicate"):
                 st_h = LayerState(p=h["p"], t=h["t"], tz=h["tz"],
                                   wkl=h["wkl"], wbrodl=h["wb"],
                                   clw=h["clw"])
                 pred = jit_cache[("pred", item["nmol"])]
-                if _cpu0 is not None:
-                    with jax.default_device(_cpu0):
-                        rows = np.asarray(pred(st_h))
-                else:
+                with jax.default_device(_cpu0):
                     rows = np.asarray(pred(st_h))
             h["lay_ok"] = np.asarray(rows).all(axis=0)
         item["host"] = h
@@ -824,6 +832,12 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
                 wbrodl=put_prof(h["wb"]), clw=put_prof(h["clw"]))
             ox = put_prof(h["ox"]) if "ox" in h else None
         lay_ok = h.get("lay_ok")
+        if item["can_lor"] and lay_ok is None:
+            # deferred predicate (multi-controller): evaluate on the
+            # mesh-sharded state and all-gather the per-layer rows
+            with timer.stage("engine-predicate"):
+                rows = pull(jit_cache[("pred", item["nmol"])](state_d))
+            lay_ok = np.asarray(rows).all(axis=0)
 
         # bound per-call device work by splitting the (independent)
         # layer axis: the reference envelope (200 layers x 80k wn x
@@ -994,9 +1008,6 @@ def run(filein="MONORTM.IN", fileprof="MONORTM_PROF.IN", hfile="TAPE3",
 
     nprof = len(prepped)
     results = [results[i] for i in range(len(prepped))]
-    if punched and is_main:
-        from monortm_tpu.io.tape7 import write_tape7
-        write_tape7(Path(outdir) / "TAPE7", punched, xid=cfg.xid)
 
     # ---- write outputs in input order --------------------------------
     with writer:
