@@ -163,3 +163,33 @@ def test_ipunch_writes_tape7(tmp_path):
     profs = read_profiles(t7)
     assert len(profs) == 1
     assert profs[0].state.p.shape[0] > 5
+
+
+def test_streamed_chunked_run_matches_monolithic(tmp_path, monkeypatch):
+    """The streaming producer/consumer path with FORCED small chunks
+    (multiple in-flight work items, deferred pulls, buffers flushing
+    partial batches) writes the same MONORTM.OUT as a single-chunk run
+    of the same stacked IATM=1 input."""
+    import shutil
+    from pathlib import Path
+    import monortm_tpu.pipeline as pl
+    from monortm_tpu.pipeline import run
+
+    src = Path("/root/reference/run/in/MONORTM.IN_NOSCALE_IATM1_dn")
+    text = src.read_text()
+    block = text[text.index("$"):text.index("%")]
+    (tmp_path / "MONORTM.IN").write_text(block * 5 + "%")
+    shutil.copy(Path(__file__).parent / "goldens" / "TAPE3_synthetic",
+                tmp_path / "TAPE3")
+
+    (tmp_path / "one").mkdir()
+    run(filein=tmp_path / "MONORTM.IN", hfile=tmp_path / "TAPE3",
+        outdir=tmp_path / "one", mesh=None)
+
+    monkeypatch.setattr(pl, "_max_batch", lambda *a, **k: 2)
+    (tmp_path / "chunked").mkdir()
+    res = run(filein=tmp_path / "MONORTM.IN", hfile=tmp_path / "TAPE3",
+              outdir=tmp_path / "chunked", mesh=None)
+    assert len(res.tb) == 5
+    assert (tmp_path / "one" / "MONORTM.OUT").read_bytes() == \
+        (tmp_path / "chunked" / "MONORTM.OUT").read_bytes()

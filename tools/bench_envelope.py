@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--lines", type=int, default=250000)
     ap.add_argument("--wt", type=int, default=128)
     ap.add_argument("--nt", type=int, default=256)
+    ap.add_argument("--grad", action="store_true",
+                    help="also time value_and_grad through the kernel's "
+                         "custom VJP (reverse-map sweep, K-axis "
+                         "segmented) at this scale")
     args = ap.parse_args()
 
     import jax
@@ -68,16 +72,47 @@ def main():
     fn(state, scor).block_until_ready()
     compile_s = time.perf_counter() - t0
 
+    # measurement hygiene on the tunneled backend (all measured): (a)
+    # identical (executable, inputs) calls return a cached result, so
+    # every iteration perturbs t multiplicatively; (b) block every
+    # iteration; (c) drop the result before the next call
+    import dataclasses as _dc
     iters = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(state, scor)
-    out.block_until_ready()
+    for i in range(iters):
+        st_i = _dc.replace(
+            state, t=state.t * (1.0 + jnp.float32(1e-6 * (i + 1))))
+        out = fn(st_i, scor)
+        out.block_until_ready()
+        del out
     dt = (time.perf_counter() - t0) / iters
 
     evals = args.nlay * args.nwn * n_lines
     print(f"envelope: {args.nlay} layers x {args.nwn} wn x "
           f"{n_lines} lines  (compile {compile_s:.0f}s)")
+    if args.grad:
+        import dataclasses as dc
+
+        def loss(t):
+            return jnp.sum(model.line_od_pallas(
+                dc.replace(state, t=t), scor))
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        t0 = time.perf_counter()
+        v, g = vg(state.t)
+        jax.block_until_ready(g)
+        print(f"  value_and_grad compile+first "
+              f"{time.perf_counter() - t0:.0f}s")
+        t0 = time.perf_counter()
+        for i in range(iters):
+            v, g = vg(state.t * (1.0 + jnp.float32(1e-6 * (i + 1))))
+            jax.block_until_ready(g)
+            ok = bool(jnp.isfinite(g).all())
+            del v, g
+            assert ok
+        dtg = (time.perf_counter() - t0) / iters
+        print(f"  value_and_grad {dtg:6.2f} s/iter  "
+              f"-> {evals / dtg:.3e} od-evals/s through the adjoint")
     print(f"  grid steps/iter: {steps}  "
           f"candidate density: {cv.mean():.3f}")
     print(f"  {dt * 1e3:.1f} ms/iter   {evals / dt:.3e} od-evals/s   "
