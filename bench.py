@@ -93,11 +93,21 @@ def main():
                                          lor_layers=lor_lay).rt.tb)
     fn(state).block_until_ready()          # compile + warm
 
+    # measurement hygiene: DISTINCT inputs per iteration.  The tunneled
+    # backend can return a cached result for an identical (executable,
+    # inputs) pair (observed at envelope scale: a loop over the same
+    # arrays read 0.1 ms for a 4.7 s program).  At this workload the
+    # distinct-pipelined rate matches the identical-loop rate (26.5 vs
+    # 27.1 ms measured), so the historical numbers stand; distinct
+    # inputs keep the measurement valid if the caching behavior changes.
+    import dataclasses as _dc
     iters = 5
+    states = [_dc.replace(state,
+                          t=state.t * (1.0 + jnp.float32(1e-6 * (i + 1))))
+              for i in range(iters)]
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(state)
-    out.block_until_ready()
+    outs = [fn(s) for s in states]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
 
     evals = batch * nlay * nwn * n_lines
