@@ -73,14 +73,17 @@ def main():
         fwd = jax.jit(loss)
         vg = jax.jit(jax.value_and_grad(loss))
 
-        def timeit(f, *a):
-            o = f(*a)
-            jax.block_until_ready(o)
+        def timeit(f, t):
+            # distinct inputs per iteration (the tunneled backend can
+            # return cached results for identical calls; BENCH_NOTES
+            # "measurement hygiene")
+            jax.block_until_ready(f(t))
             n = 5
+            ts = [t * (1.0 + jnp.float32(1e-6 * (i + 1)))
+                  for i in range(n)]
             t0 = time.perf_counter()
-            for _ in range(n):
-                o = f(*a)
-            jax.block_until_ready(o)
+            outs = [f(x) for x in ts]
+            jax.block_until_ready(outs)
             return (time.perf_counter() - t0) / n
 
         t_f = timeit(fwd, state.t)
