@@ -385,3 +385,80 @@ def test_pallas_vjp_under_mesh():
         scale = max(np.abs(g0).max(), 1e-30)
         np.testing.assert_allclose(gM, g0, rtol=2e-5, atol=1e-5 * scale,
                                    err_msg=str(dict(mesh.shape)))
+
+
+def test_bwd_segmentation_matches_unsegmented(monkeypatch):
+    """Forcing a tiny SMEM budget segments BOTH sweeps (the forward's
+    wn-axis segments and the backward's reverse-map K-axis segments);
+    values and gradients must not change."""
+    import dataclasses as dc
+    from monortm_tpu.ops import linesum_pallas as lsp
+
+    cat = synthetic_catalog_mw(n_h2o=96, n_o2=32, tile=64)
+    wn = np.linspace(0.3, 55.0, 256)
+    state = synthetic_state(nlay=3)
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), state)
+    sc = jnp.ones((3, 351), jnp.float32)
+
+    def build():
+        return ODModel(wn, 0.2, cat, nmol=22, dtype=jnp.float32,
+                       use_pallas=True, pallas_wn_tile=128,
+                       pallas_line_tile=128)
+
+    def val_grad(m):
+        def loss(t):
+            return jnp.sum(m.line_od_pallas(dc.replace(state, t=t), sc))
+        return jax.value_and_grad(loss)(state.t)
+
+    v0, g0 = val_grad(build())
+    monkeypatch.setattr(lsp, "_SMEM_MAP_BUDGET", 2048)
+    v1, g1 = val_grad(build())
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    # the backward segments change only the cotangent CONCAT boundaries
+    # (per-segment sweeps are disjoint along the line axis), so the
+    # gradients are bitwise too
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_reverse_map_invariants():
+    """_reverse_map is the exact transpose of the candidate map and
+    _budget_segments partitions rows with valid slots packed leftmost."""
+    from monortm_tpu.ops.linesum_pallas import (_budget_segments,
+                                                _reverse_map)
+    rng = np.random.default_rng(3)
+    n_wt, n_cand, k_tiles = 11, 5, 9
+    cm = rng.integers(0, k_tiles, (n_wt, n_cand)).astype(np.int32)
+    cv = (rng.random((n_wt, n_cand)) < 0.6)
+    # pack valid slots leftmost like the plan builder does
+    order = np.argsort(~cv, axis=1, kind="stable")
+    cm = np.take_along_axis(cm, order, axis=1)
+    cv = np.take_along_axis(cv, order, axis=1).astype(np.int32)
+
+    rm, rv = _reverse_map(cm, cv, k_tiles)
+    # transpose property: (i, k) is a forward pair iff i appears in
+    # rm[k]'s valid slots, with multiplicity
+    fwd = {}
+    for i in range(n_wt):
+        for j in range(n_cand):
+            if cv[i, j]:
+                fwd[(cm[i, j], i)] = fwd.get((cm[i, j], i), 0) + 1
+    rev = {}
+    for k in range(k_tiles):
+        for s2 in range(rm.shape[1]):
+            if rv[k, s2]:
+                rev[(k, rm[k, s2])] = rev.get((k, rm[k, s2]), 0) + 1
+    assert fwd == rev
+    # valid slots packed leftmost
+    for k in range(k_tiles):
+        nvalid = rv[k].sum()
+        assert rv[k, :nvalid].all() and not rv[k, nvalid:].any()
+
+    segs = _budget_segments(rv.sum(axis=1), 8)
+    # contiguous cover of the row axis, each within budget
+    assert segs[0][0] == 0 and segs[-1][1] == k_tiles
+    for (a0, a1, nc), (b0, _, _) in zip(segs, segs[1:]):
+        assert a1 == b0
+    for a0, a1, nc in segs:
+        assert nc >= max(1, rv[a0:a1].sum(axis=1).max(initial=0))
+        assert (a1 - a0) * nc <= 8 or (a1 - a0) == 1
